@@ -1,0 +1,21 @@
+from cunet_tpu.models.cu_net import (
+    apply_cu_net,
+    create_cu_net,
+    dense_block_channels,
+    init_cu_net,
+)
+from cunet_tpu.models.naive_dense_unet import (
+    DenseUNetConfig,
+    apply_dense_unet,
+    init_dense_unet,
+)
+
+__all__ = [
+    "apply_cu_net",
+    "create_cu_net",
+    "dense_block_channels",
+    "init_cu_net",
+    "DenseUNetConfig",
+    "apply_dense_unet",
+    "init_dense_unet",
+]

@@ -1,0 +1,419 @@
+"""Order-K coupled U-Net (CU-Net), TPU-native functional implementation.
+
+Re-designed from the behavior of ref:models/cu_net.py (see SURVEY.md §2.1):
+``layer_num`` (K) U-Nets share one set of per-position dense blocks, where
+U-Net *i* uses layer slot *i* of every block; dense (DenseNet-style)
+connections run inside each U-Net and across U-Nets, trimmed to the last
+``order`` neighbors via per-block FIFOs.
+
+Differences from the reference by design (TPU-first):
+
+- **Functional**: parameters and BN running stats are explicit pytrees;
+  the mutable ``saved_features`` FIFOs (ref:models/cu_net.py:115-144) become
+  explicit carries of the Python loop over U-Net index ``i``. The loop is
+  unrolled — per-``i`` weights differ and feature shapes grow until
+  ``i == order`` — which XLA compiles into one static graph.
+- **NHWC / bf16**: channels-last with fp32 accumulation on the MXU.
+- **Memory**: ``jax.checkpoint`` remat policies replace both
+  ``torch.utils.checkpoint`` (ref:models/cu_net.py:58-61) and the
+  shared-storage cuDNN recompute (ref:models/cu_net_prev_version.py:520-599).
+- The concat of the dense inputs is never materialized
+  (cunet_tpu.ops.bottleneck).
+
+Channel arithmetic (asserted in tests, from ref:models/cu_net.py:79-101):
+dense layer ``i`` input = ``in_num + min(i, order) * growth``; adapter ``i``
+input = ``in_num + (min(i, order)+1) * growth``; up-block adapters emit
+``in_num // 2``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cunet_tpu.config import ModelConfig
+from cunet_tpu.ops import (
+    batch_norm,
+    conv2d,
+    dense_bottleneck,
+    dense_bottleneck_remat,
+    init_bn,
+    init_bn_state,
+    init_conv,
+    max_pool_2x2,
+    relu,
+    upsample_nearest_2x,
+)
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _init_bottleneck(key, cin: int, cout: int):
+    """BN -> ReLU -> 1x1 conv unit (params, state)."""
+    k1, k2 = jax.random.split(key)
+    params = {
+        "norm": init_bn(k1, cin),
+        "conv": init_conv(k2, 1, 1, cin, cout),
+    }
+    return params, {"norm": init_bn_state(cin)}
+
+
+def _init_dense_layer(key, cin: int, cfg: ModelConfig):
+    """Dense layer: bottleneck (1x1 -> neck*growth) + BN/ReLU/3x3 (-> growth).
+
+    ref:models/cu_net.py:38-48.
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    bneck_p, bneck_s = _init_bottleneck(k1, cin, cfg.bottleneck_chan)
+    params = {
+        "bottleneck": bneck_p,
+        "norm2": init_bn(k2, cfg.bottleneck_chan),
+        "conv2": init_conv(k3, 3, 3, cfg.bottleneck_chan, cfg.growth_rate),
+    }
+    state = {
+        "bottleneck": bneck_s,
+        "norm2": init_bn_state(cfg.bottleneck_chan),
+    }
+    return params, state
+
+
+def dense_block_channels(cfg: ModelConfig, in_num: int) -> List[Tuple[int, int]]:
+    """(layer_in, adapter_in) channel counts per U-Net slot i.
+
+    Mirrors ref:models/cu_net.py:79-101.
+    """
+    out = []
+    for i in range(cfg.layer_num):
+        link = min(i, cfg.order)
+        out.append(
+            (in_num + link * cfg.growth_rate, in_num + (link + 1) * cfg.growth_rate)
+        )
+    return out
+
+
+def _init_dense_block(
+    key, cfg: ModelConfig, in_num: int, *, requires_skip: bool, is_up: bool
+):
+    """One block position with K layer slots + K ahead (+K skip) adapters."""
+    adapter_out = in_num // 2 if is_up else in_num
+    layers_p, layers_s = [], []
+    ahead_p, ahead_s = [], []
+    skip_p, skip_s = [], []
+    for i, (lin, ain) in enumerate(dense_block_channels(cfg, in_num)):
+        kl, ka, ks = jax.random.split(jax.random.fold_in(key, i), 3)
+        p, s = _init_dense_layer(kl, lin, cfg)
+        layers_p.append(p)
+        layers_s.append(s)
+        p, s = _init_bottleneck(ka, ain, adapter_out)
+        ahead_p.append(p)
+        ahead_s.append(s)
+        if requires_skip:
+            p, s = _init_bottleneck(ks, ain, adapter_out)
+            skip_p.append(p)
+            skip_s.append(s)
+    params = {"layers": layers_p, "adapters_ahead": ahead_p}
+    state = {"layers": layers_s, "adapters_ahead": ahead_s}
+    if requires_skip:
+        params["adapters_skip"] = skip_p
+        state["adapters_skip"] = skip_s
+    return params, state
+
+
+def _init_intermedia(key, cfg: ModelConfig, chan: int):
+    """Cross-U-Net input coupling block (ref:models/cu_net.py:146-164).
+
+    K-1 adapters; adapter j (serving U-Net i=j+1) input channels =
+    ``chan + (min(j, order)+1) * chan`` capped at ``chan + order*chan``.
+    """
+    ad_p, ad_s = [], []
+    for j in range(cfg.layer_num - 1):
+        # j < order -> chan+(j+1)*chan, else chan+order*chan (ref :156-160)
+        cin = chan + (min(j, cfg.order - 1) + 1) * chan if cfg.order > 0 else chan
+        p, s = _init_bottleneck(jax.random.fold_in(key, j), cin, chan)
+        ad_p.append(p)
+        ad_s.append(s)
+    return {"adapters": ad_p}, {"adapters": ad_s}
+
+
+def init_cu_net(key, cfg: ModelConfig):
+    """Initialize (params, state) for the full CU-Net wrapper.
+
+    Structure (ref:models/cu_net.py:271-334): stem conv7x7/s2 + BN + ReLU +
+    maxpool; one shared hourglass of 4 down / 1 neck / 4 up block positions;
+    K BN-ReLU-1x1 heads; K-1 intermedia adapters.
+    """
+    c = cfg.init_chan_num
+    keys = jax.random.split(key, 12)
+    params: Dict = {}
+    state: Dict = {}
+    params["stem"] = {
+        "conv": init_conv(keys[0], 7, 7, 3, c),
+        "norm": init_bn(keys[1], c),
+    }
+    state["stem"] = {"norm": init_bn_state(c)}
+
+    down_p, down_s, up_p, up_s = [], [], [], []
+    for b in range(cfg.num_blocks):
+        p, s = _init_dense_block(
+            jax.random.fold_in(keys[2], b), cfg, c, requires_skip=True, is_up=False
+        )
+        down_p.append(p)
+        down_s.append(s)
+        p, s = _init_dense_block(
+            jax.random.fold_in(keys[3], b), cfg, 2 * c, requires_skip=False, is_up=True
+        )
+        up_p.append(p)
+        up_s.append(s)
+    neck_p, neck_s = _init_dense_block(
+        keys[4], cfg, c, requires_skip=False, is_up=False
+    )
+    params["hg"] = {"down": down_p, "neck": neck_p, "up": up_p}
+    state["hg"] = {"down": down_s, "neck": neck_s, "up": up_s}
+
+    inter_p, inter_s = _init_intermedia(keys[5], cfg, c)
+    params["intermedia"] = inter_p
+    state["intermedia"] = inter_s
+
+    heads_p, heads_s = [], []
+    for i in range(cfg.layer_num):
+        p, s = _init_bottleneck(jax.random.fold_in(keys[6], i), c, cfg.class_num)
+        heads_p.append(p)
+        heads_s.append(s)
+    params["heads"] = heads_p
+    state["heads"] = heads_s
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+
+def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train):
+    """BN->ReLU->1x1 over a virtual concat, with remat per config."""
+    p = {"norm": params["norm"], "conv": params["conv"]}
+    s = state["norm"]
+    if train and cfg.remat == "bottleneck":
+        out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train)
+    else:
+        out, new_s = dense_bottleneck(list(feats), p, s, train=train)
+    return out, {"norm": new_s}
+
+
+def _apply_dense_layer(
+    params, state, feats: Sequence[jnp.ndarray], *, cfg, train, rng=None
+):
+    """Bottleneck 1x1 then BN->ReLU->3x3 conv (ref:models/cu_net.py:52-65)."""
+    def inner(params, state, feats):
+        b, bs = _apply_bottleneck(
+            params["bottleneck"], state["bottleneck"], feats, cfg=cfg, train=train
+        )
+        y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train)
+        y = conv2d(relu(y), params["conv2"], stride=1, padding=1)
+        return y, {"bottleneck": bs, "norm2": ns2}
+
+    if train and cfg.remat == "layer":
+        y, new_state = jax.checkpoint(inner)(params, state, list(feats))
+    else:
+        y, new_state = inner(params, state, list(feats))
+    if cfg.drop_rate > 0 and train:
+        assert rng is not None, "drop_rate > 0 requires an rng"
+        keep = 1.0 - cfg.drop_rate
+        mask = jax.random.bernoulli(rng, keep, y.shape)
+        y = jnp.where(mask, y / keep, 0).astype(y.dtype)
+    return y, new_state
+
+
+def _fifo_push(fifo: List, out, i: int, order: int) -> List:
+    """FIFO update rule of ref:models/cu_net.py:133-137."""
+    if i < order:
+        return fifo + [out]
+    if fifo:
+        return fifo[1:] + [out]
+    return fifo
+
+
+def _apply_dense_block(
+    params,
+    state,
+    feats: Sequence[jnp.ndarray],
+    i: int,
+    fifo: List,
+    *,
+    cfg,
+    train,
+    requires_skip: bool,
+    rng=None,
+):
+    """One dense-block position at U-Net slot ``i`` (ref:models/cu_net.py:115-144).
+
+    Returns ``(ahead[, skip]), new_fifo, new_state_updates`` where
+    state updates are {index: subtree} patches for slot ``i``.
+    """
+    x = list(feats) + list(fifo)
+    out, layer_s = _apply_dense_layer(
+        params["layers"][i], state["layers"][i], x, cfg=cfg, train=train, rng=rng
+    )
+    new_fifo = _fifo_push(fifo, out, i, cfg.order)
+    x = x + [out]
+    ahead, ahead_s = _apply_bottleneck(
+        params["adapters_ahead"][i], state["adapters_ahead"][i], x, cfg=cfg, train=train
+    )
+    patches = {"layers": {i: layer_s}, "adapters_ahead": {i: ahead_s}}
+    if requires_skip:
+        skip, skip_s = _apply_bottleneck(
+            params["adapters_skip"][i], state["adapters_skip"][i], x, cfg=cfg, train=train
+        )
+        patches["adapters_skip"] = {i: skip_s}
+        return (ahead, skip), new_fifo, patches
+    return (ahead, None), new_fifo, patches
+
+
+def _merge_block_patches(state_block, patches):
+    new = dict(state_block)
+    for name, idx_map in patches.items():
+        lst = list(new[name])
+        for i, sub in idx_map.items():
+            lst[i] = sub
+        new[name] = lst
+    return new
+
+
+def empty_fifos(cfg: ModelConfig) -> Dict:
+    return {
+        "down": [[] for _ in range(cfg.num_blocks)],
+        "neck": [],
+        "up": [[] for _ in range(cfg.num_blocks)],
+        "intermedia": [],
+    }
+
+
+def _apply_hourglass(params, state, x, i: int, fifos: Dict, *, cfg, train, rng=None):
+    """4x (down-block -> maxpool), neck, 4x (upsample -> up-block).
+
+    ref:models/cu_net.py:252-269. Returns (x, new_state, fifos).
+    """
+    new_state = {"down": list(state["down"]), "up": list(state["up"])}
+    skips = []
+    for j in range(cfg.num_blocks):
+        r = None if rng is None else jax.random.fold_in(rng, j)
+        (x, skip), fifos["down"][j], patch = _apply_dense_block(
+            params["down"][j], state["down"][j], [x], i, fifos["down"][j],
+            cfg=cfg, train=train, requires_skip=True, rng=r,
+        )
+        new_state["down"][j] = _merge_block_patches(state["down"][j], patch)
+        skips.append(skip)
+        x = max_pool_2x2(x)
+    r = None if rng is None else jax.random.fold_in(rng, 100)
+    (x, _), fifos["neck"], patch = _apply_dense_block(
+        params["neck"], state["neck"], [x], i, fifos["neck"],
+        cfg=cfg, train=train, requires_skip=False, rng=r,
+    )
+    new_state["neck"] = _merge_block_patches(state["neck"], patch)
+    for j in reversed(range(cfg.num_blocks)):
+        x = upsample_nearest_2x(x)
+        r = None if rng is None else jax.random.fold_in(rng, 200 + j)
+        (x, _), fifos["up"][j], patch = _apply_dense_block(
+            params["up"][j], state["up"][j], [x, skips[j]], i, fifos["up"][j],
+            cfg=cfg, train=train, requires_skip=False, rng=r,
+        )
+        new_state["up"][j] = _merge_block_patches(state["up"][j], patch)
+    return x, new_state, fifos
+
+
+def _apply_intermedia(params, state, x, i: int, fifo: List, *, cfg, train):
+    """Cross-U-Net input adapter (ref:models/cu_net.py:166-190).
+
+    i == 0: identity, seeds the FIFO. i > 0: adapter over [x] + FIFO.
+    """
+    if i == 0:
+        if cfg.order != 0:
+            fifo = fifo + [x]
+        return x, state, fifo
+    feats = [x] + list(fifo)
+    out, ad_s = _apply_bottleneck(
+        params["adapters"][i - 1], state["adapters"][i - 1], feats, cfg=cfg, train=train
+    )
+    new_state = {"adapters": list(state["adapters"])}
+    new_state["adapters"][i - 1] = ad_s
+    fifo = _fifo_push(fifo, out, i, cfg.order)
+    return out, new_state, fifo
+
+
+def apply_cu_net(
+    params,
+    state,
+    x: jnp.ndarray,
+    *,
+    cfg: ModelConfig,
+    train: bool,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[List[jnp.ndarray], Dict]:
+    """Full forward: stem -> K x (intermedia -> hourglass [-> head if anchored]).
+
+    Args:
+      x: [N, 256, 256, 3] input batch (NHWC), any float dtype.
+    Returns:
+      (list of [N, 64, 64, class_num] heatmaps — one per loss anchor, in
+      U-Net order; final element is the last U-Net), new_state.
+
+    ref:models/cu_net.py:336-360.
+    """
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
+    new_state = dict(state)
+
+    # stem: conv7x7/2 -> BN -> ReLU -> maxpool2 (ref:models/cu_net.py:299-304)
+    y = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
+    y, stem_ns = batch_norm(y, params["stem"]["norm"], state["stem"]["norm"], train=train)
+    y = relu(y)
+    y = max_pool_2x2(y)
+    new_state["stem"] = {"norm": stem_ns}
+
+    fifos = empty_fifos(cfg)
+    hg_state = state["hg"]
+    inter_state = state["intermedia"]
+    heads_state = list(state["heads"])
+    anchors = cfg.anchors
+    outs: List[jnp.ndarray] = []
+
+    def block_apply(y, i, hg_state, inter_state, fifos):
+        y, inter_state, fifos["intermedia"] = _apply_intermedia(
+            params["intermedia"], inter_state, y, i, fifos["intermedia"],
+            cfg=cfg, train=train,
+        )
+        r = None if rng is None else jax.random.fold_in(rng, i)
+        y, hg_state, fifos = _apply_hourglass(
+            params["hg"], hg_state, y, i, fifos, cfg=cfg, train=train, rng=r
+        )
+        return y, hg_state, inter_state, fifos
+
+    for i in range(cfg.layer_num):
+        if train and cfg.remat == "block":
+            y, hg_state, inter_state, fifos = jax.checkpoint(
+                block_apply, static_argnums=(1,)
+            )(y, i, hg_state, inter_state, fifos)
+        else:
+            y, hg_state, inter_state, fifos = block_apply(
+                y, i, hg_state, inter_state, fifos
+            )
+        if (i + 1) in anchors:
+            hm, head_s = _apply_bottleneck(
+                params["heads"][i], state["heads"][i], [y], cfg=cfg, train=train
+            )
+            heads_state[i] = head_s
+            outs.append(hm)
+
+    new_state["hg"] = hg_state
+    new_state["intermedia"] = inter_state
+    new_state["heads"] = heads_state
+    assert len(outs) == len(anchors)
+    return outs, new_state
+
+
+def create_cu_net(key, cfg: ModelConfig):
+    """Convenience mirror of ref:models/cu_net.py:362-368."""
+    return init_cu_net(key, cfg)

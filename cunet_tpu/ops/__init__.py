@@ -1,0 +1,30 @@
+from cunet_tpu.ops.layers import (
+    BN_EPS,
+    BN_MOMENTUM,
+    batch_norm,
+    bn_inference_scale_shift,
+    conv2d,
+    init_bn,
+    init_bn_state,
+    init_conv,
+    max_pool_2x2,
+    relu,
+    upsample_nearest_2x,
+)
+from cunet_tpu.ops.bottleneck import dense_bottleneck, dense_bottleneck_remat
+
+__all__ = [
+    "BN_EPS",
+    "BN_MOMENTUM",
+    "batch_norm",
+    "bn_inference_scale_shift",
+    "conv2d",
+    "dense_bottleneck",
+    "dense_bottleneck_remat",
+    "init_bn",
+    "init_bn_state",
+    "init_conv",
+    "max_pool_2x2",
+    "relu",
+    "upsample_nearest_2x",
+]

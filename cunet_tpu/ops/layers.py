@@ -1,0 +1,135 @@
+"""Core functional NN ops: conv, batch-norm, pooling, upsampling.
+
+Layout is NHWC (TPU-native; the reference is NCHW torch). Parameters are
+plain pytrees; batch-norm running statistics live in a separate ``state``
+pytree so every function is pure: ``y, new_state = f(params, state, x)``.
+
+Numerics match ``torch.nn`` semantics used by the reference
+(ref:models/cu_net.py:22-25,41-48): BN eps=1e-5, momentum=0.1 (running stats
+use unbiased variance, normalization uses biased), convs bias-free.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+# ---------------------------------------------------------------------------
+# initializers (match ref:models/cu_net.py:322-334)
+# ---------------------------------------------------------------------------
+
+
+def init_conv(key, kh: int, kw: int, cin: int, cout: int, dtype=jnp.float32):
+    """Conv weight, HWIO layout; U(-1/sqrt(kh*kw*cin), +1/sqrt(kh*kw*cin)).
+
+    Matches the fan-in uniform init of ref:models/cu_net.py:323-326.
+    """
+    stdv = 1.0 / (kh * kw * cin) ** 0.5
+    return jax.random.uniform(
+        key, (kh, kw, cin, cout), dtype=dtype, minval=-stdv, maxval=stdv
+    )
+
+
+def init_bn(key, c: int, dtype=jnp.float32):
+    """BN params: scale ~ U(0,1), bias = 0 (ref:models/cu_net.py:331-334)."""
+    return {
+        "scale": jax.random.uniform(key, (c,), dtype=dtype),
+        "bias": jnp.zeros((c,), dtype=dtype),
+    }
+
+
+def init_bn_state(c: int, dtype=jnp.float32):
+    """Running statistics, torch defaults: mean 0, var 1."""
+    return {"mean": jnp.zeros((c,), dtype=dtype), "var": jnp.ones((c,), dtype=dtype)}
+
+
+# ---------------------------------------------------------------------------
+# batch norm
+# ---------------------------------------------------------------------------
+
+
+def batch_norm(
+    x, params, state, *, train: bool, eps: float = BN_EPS, momentum: float = BN_MOMENTUM
+) -> Tuple[jnp.ndarray, dict]:
+    """Functional BatchNorm over NHWC (stats over N,H,W).
+
+    Train mode normalizes with biased batch stats and updates running stats
+    with the unbiased variance (torch.nn.BatchNorm2d semantics, which the
+    reference relies on for its recompute-with-frozen-stats backward,
+    ref:models/cu_net_prev_version.py:567-571 — in functional JAX the
+    recompute trivially reproduces the same stats).
+
+    Statistics are computed in fp32 regardless of compute dtype.
+    """
+    scale = params["scale"]
+    bias = params["bias"]
+    x32 = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.var(x32, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = lax.rsqrt(var + eps) * scale
+    y = (x32 - mean) * inv + bias
+    return y.astype(x.dtype), new_state
+
+
+def bn_inference_scale_shift(params, state, *, eps: float = BN_EPS):
+    """Fold eval-mode BN into per-channel (scale, shift) for fused kernels."""
+    inv = lax.rsqrt(state["var"] + eps) * params["scale"]
+    return inv, params["bias"] - state["mean"] * inv
+
+
+# ---------------------------------------------------------------------------
+# conv / pool / upsample
+# ---------------------------------------------------------------------------
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, w, *, stride: int = 1, padding: int = 0):
+    """2D convolution, NHWC/HWIO, fp32 accumulation on the MXU."""
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DIMS,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
+def max_pool_2x2(x):
+    """2x2/stride-2 max pool (ref:models/cu_net.py:249,303)."""
+    return lax.reduce_window(
+        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
+        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+
+
+def upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsample (ref:models/cu_net.py:250,265).
+
+    Implemented as broadcast+reshape, which XLA lowers to a cheap layout op.
+    """
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def relu(x):
+    return jnp.maximum(x, 0)

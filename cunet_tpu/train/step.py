@@ -1,0 +1,98 @@
+"""Jittable train / eval steps with mesh sharding.
+
+The hot loop of ref:cu-net.py:147-206 (forward -> intermediate-supervision
+MSE -> backward -> RMSprop step) as a single pure function, compiled once by
+XLA and sharded over the ``(data, space)`` mesh. DataParallel's per-step
+replicate/scatter/gather (ref:cu-net.py:59) has no analog: parameters stay
+resident, gradients all-reduce over ICI inside the compiled step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cunet_tpu.config import ModelConfig
+from cunet_tpu.models import apply_cu_net
+from cunet_tpu.parallel import batch_sharding, replicated
+from cunet_tpu.train.loss import intermediate_mse
+from cunet_tpu.train.state import TrainState
+
+
+def train_step(
+    state: TrainState,
+    batch: dict,
+    *,
+    cfg: ModelConfig,
+    tx: optax.GradientTransformation,
+    rng: Optional[jax.Array] = None,
+):
+    """One optimization step. ``batch = {'image': NHWC, 'heatmap': NHWC}``.
+
+    Returns (new_state, metrics) where metrics carries the scalar loss and
+    the final-anchor heatmaps for on-host accuracy (ref:cu-net.py:191-196
+    computes PCK on output[-1] every iteration).
+    """
+
+    def loss_fn(params):
+        step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
+        outs, new_bn = apply_cu_net(
+            params, state.bn_state, batch["image"], cfg=cfg, train=True, rng=step_rng
+        )
+        loss = intermediate_mse(outs, batch["heatmap"])
+        return loss, (new_bn, outs[-1])
+
+    (loss, (new_bn, last_out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        bn_state=new_bn,
+        opt_state=new_opt,
+    )
+    return new_state, {"loss": loss, "last_out": last_out}
+
+
+def eval_step(params, bn_state, batch: dict, *, cfg: ModelConfig):
+    """Validation forward: per-anchor losses + final heatmaps
+    (ref:cu-net.py:234-238)."""
+    outs, _ = apply_cu_net(params, bn_state, batch["image"], cfg=cfg, train=False)
+    loss = intermediate_mse(outs, batch["heatmap"])
+    return {"loss": loss, "last_out": outs[-1]}
+
+
+def make_sharded_train_step(
+    mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *, donate: bool = True
+):
+    """Compile ``train_step`` over a mesh: batch sharded (N over data, H over
+    space), state replicated. XLA inserts the ICI all-reduce for grads and
+    the halo exchanges for spatially-partitioned convs."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+
+    fn = functools.partial(train_step, cfg=cfg, tx=tx)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, {"image": bsh, "heatmap": bsh}),
+        out_shardings=(rep, {"loss": rep, "last_out": bsh}),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_eval_step(mesh: Mesh, cfg: ModelConfig):
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    fn = functools.partial(eval_step, cfg=cfg)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, rep, {"image": bsh, "heatmap": bsh}),
+        out_shardings={"loss": rep, "last_out": bsh},
+    )

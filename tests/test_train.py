@@ -1,0 +1,171 @@
+"""Training-stack tests: optimizer parity, schedules, sharded step on a mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from cunet_tpu.config import ModelConfig, TrainConfig
+from cunet_tpu.models import apply_cu_net, init_cu_net
+from cunet_tpu.parallel import batch_sharding, make_mesh, replicated
+from cunet_tpu.train import (
+    create_train_state,
+    eval_step,
+    get_lr,
+    intermediate_mse,
+    lr_at_epoch,
+    make_optimizer,
+    make_sharded_train_step,
+    set_lr,
+    train_step,
+)
+
+SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16, class_num=4, num_blocks=2)
+
+
+class TestSchedule:
+    def test_mpii(self):
+        # ref:utils/util.py:106-119
+        assert lr_at_epoch(2.5e-4, 1) == 2.5e-4
+        assert lr_at_epoch(2.5e-4, 100) == 2.5e-4
+        assert np.isclose(lr_at_epoch(2.5e-4, 101), 5e-5)
+        assert np.isclose(lr_at_epoch(2.5e-4, 141), 2.5e-5)
+        assert np.isclose(lr_at_epoch(2.5e-4, 161), 1.25e-5)
+        assert np.isclose(lr_at_epoch(2.5e-4, 200), 1.25e-5)
+
+    def test_face(self):
+        # ref:utils/util.py:121-134
+        assert np.isclose(lr_at_epoch(2.5e-4, 30, "face"), 5e-5)
+        assert np.isclose(lr_at_epoch(2.5e-4, 95, "face"), 1.25e-5)
+
+
+class TestRMSpropTorchParity:
+    def test_matches_torch_rmsprop(self):
+        """optax.rmsprop(eps_in_sqrt=False) must track torch.optim.RMSprop
+        (ref:cu-net.py:60-61) step for step."""
+        w0 = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+        steps = 5
+        gs = [np.random.RandomState(i + 1).randn(5, 3).astype(np.float32) for i in range(steps)]
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.RMSprop([tw], lr=2.5e-4, alpha=0.99, eps=1e-8)
+        for g in gs:
+            topt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            topt.step()
+
+        tx = make_optimizer(TrainConfig())
+        params = jnp.asarray(w0)
+        opt_state = tx.init(params)
+        for g in gs:
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+            params = params + updates
+
+        np.testing.assert_allclose(
+            np.asarray(params), tw.detach().numpy(), rtol=1e-5, atol=1e-7
+        )
+
+    def test_lr_injection(self):
+        tx = make_optimizer(TrainConfig(lr=1e-3))
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, **SMALL)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        state = create_train_state(params, bn, tx)
+        assert np.isclose(get_lr(state), 1e-3)
+        state = set_lr(state, 5e-4)
+        assert np.isclose(get_lr(state), 5e-4)
+
+
+class TestLoss:
+    def test_intermediate_mse(self):
+        o1 = jnp.ones((2, 4, 4, 3))
+        o2 = jnp.zeros((2, 4, 4, 3))
+        t = jnp.zeros((2, 4, 4, 3))
+        # sum of per-anchor means (ref:cu-net.py:175-178)
+        assert float(intermediate_mse([o1, o2], t)) == 1.0
+
+
+class TestTrainStep:
+    def _setup(self):
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, **SMALL)
+        tcfg = TrainConfig(lr=1e-3)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(tcfg)
+        state = create_train_state(params, bn, tx)
+        batch = {
+            "image": jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)),
+            "heatmap": jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 4)),
+        }
+        return cfg, tx, state, batch
+
+    def test_loss_decreases(self):
+        cfg, tx, state, batch = self._setup()
+        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_eval_step(self):
+        cfg, tx, state, batch = self._setup()
+        m = eval_step(state.params, state.bn_state, batch, cfg=cfg)
+        assert m["last_out"].shape == (2, 8, 8, 4)
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestShardedStep:
+    def test_8dev_mesh_dp_sp(self):
+        """Full sharded train step on the 8-virtual-device CPU mesh:
+        dp=4 x sp=2 (batch + spatial partitioning)."""
+        assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+        mesh = make_mesh(dp=4, sp=2)
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, **SMALL)
+        tcfg = TrainConfig(lr=1e-3)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(tcfg)
+        state = create_train_state(params, bn, tx)
+        state = jax.device_put(state, replicated(mesh))
+        bsh = batch_sharding(mesh)
+        batch = {
+            "image": jax.device_put(
+                jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3)), bsh
+            ),
+            "heatmap": jax.device_put(
+                jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 4)), bsh
+            ),
+        }
+        step = make_sharded_train_step(mesh, cfg, tx, donate=False)
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+        # SPMD must agree with single-device execution (global BN stats).
+        ref_state, ref_metrics = train_step(
+            jax.device_put(state, jax.devices()[0]),
+            {k: np.asarray(v) for k, v in batch.items()},
+            cfg=cfg,
+            tx=tx,
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+        a = jax.tree_util.tree_leaves(new_state.params)
+        b = jax.tree_util.tree_leaves(ref_state.params)
+        # RMSprop divides by sqrt(nu)+eps with tiny nu at step 1, amplifying
+        # reduction-order float noise across shards — tolerance reflects that.
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-3, atol=5e-4
+            )
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import importlib.util, pathlib
+
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)

@@ -205,15 +205,25 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
 
 
 def _apply_dense_layer(
-    params, state, feats: Sequence[jnp.ndarray], *, cfg, train, rng=None
+    params, state, feats: Sequence[jnp.ndarray], *, cfg, train, rng=None, quant=None
 ):
-    """Bottleneck 1x1 then BN->ReLU->3x3 conv (ref:models/cu_net.py:52-65)."""
+    """Bottleneck 1x1 then BN->ReLU->3x3 conv (ref:models/cu_net.py:52-65).
+
+    When ``quant`` is active with bits_i <= 15, activations are quantized
+    between the ReLU and the 3x3 conv — the WIG model's first insertion
+    point (ref:models/cu_net_prev_version_wig.py:96-100).
+    """
     def inner(params, state, feats):
         b, bs = _apply_bottleneck(
             params["bottleneck"], state["bottleneck"], feats, cfg=cfg, train=train
         )
         y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train)
-        y = conv2d(relu(y), params["conv2"], stride=1, padding=1)
+        y = relu(y)
+        if quant is not None and quant.enabled and quant.bits_i <= 15:
+            from cunet_tpu.quant.wage import quan_input
+
+            y = quan_input(y, quant.bits_i)
+        y = conv2d(y, params["conv2"], stride=1, padding=1)
         return y, {"bottleneck": bs, "norm2": ns2}
 
     if train and cfg.remat == "layer":
@@ -248,6 +258,7 @@ def _apply_dense_block(
     train,
     requires_skip: bool,
     rng=None,
+    quant=None,
 ):
     """One dense-block position at U-Net slot ``i`` (ref:models/cu_net.py:115-144).
 
@@ -256,7 +267,8 @@ def _apply_dense_block(
     """
     x = list(feats) + list(fifo)
     out, layer_s = _apply_dense_layer(
-        params["layers"][i], state["layers"][i], x, cfg=cfg, train=train, rng=rng
+        params["layers"][i], state["layers"][i], x, cfg=cfg, train=train, rng=rng,
+        quant=quant,
     )
     new_fifo = _fifo_push(fifo, out, i, cfg.order)
     x = x + [out]
@@ -292,7 +304,9 @@ def empty_fifos(cfg: ModelConfig) -> Dict:
     }
 
 
-def _apply_hourglass(params, state, x, i: int, fifos: Dict, *, cfg, train, rng=None):
+def _apply_hourglass(
+    params, state, x, i: int, fifos: Dict, *, cfg, train, rng=None, quant=None
+):
     """4x (down-block -> maxpool), neck, 4x (upsample -> up-block).
 
     ref:models/cu_net.py:252-269. Returns (x, new_state, fifos).
@@ -303,7 +317,7 @@ def _apply_hourglass(params, state, x, i: int, fifos: Dict, *, cfg, train, rng=N
         r = None if rng is None else jax.random.fold_in(rng, j)
         (x, skip), fifos["down"][j], patch = _apply_dense_block(
             params["down"][j], state["down"][j], [x], i, fifos["down"][j],
-            cfg=cfg, train=train, requires_skip=True, rng=r,
+            cfg=cfg, train=train, requires_skip=True, rng=r, quant=quant,
         )
         new_state["down"][j] = _merge_block_patches(state["down"][j], patch)
         skips.append(skip)
@@ -311,7 +325,7 @@ def _apply_hourglass(params, state, x, i: int, fifos: Dict, *, cfg, train, rng=N
     r = None if rng is None else jax.random.fold_in(rng, 100)
     (x, _), fifos["neck"], patch = _apply_dense_block(
         params["neck"], state["neck"], [x], i, fifos["neck"],
-        cfg=cfg, train=train, requires_skip=False, rng=r,
+        cfg=cfg, train=train, requires_skip=False, rng=r, quant=quant,
     )
     new_state["neck"] = _merge_block_patches(state["neck"], patch)
     for j in reversed(range(cfg.num_blocks)):
@@ -319,7 +333,7 @@ def _apply_hourglass(params, state, x, i: int, fifos: Dict, *, cfg, train, rng=N
         r = None if rng is None else jax.random.fold_in(rng, 200 + j)
         (x, _), fifos["up"][j], patch = _apply_dense_block(
             params["up"][j], state["up"][j], [x, skips[j]], i, fifos["up"][j],
-            cfg=cfg, train=train, requires_skip=False, rng=r,
+            cfg=cfg, train=train, requires_skip=False, rng=r, quant=quant,
         )
         new_state["up"][j] = _merge_block_patches(state["up"][j], patch)
     return x, new_state, fifos
@@ -344,6 +358,20 @@ def _apply_intermedia(params, state, x, i: int, fifo: List, *, cfg, train):
     return out, new_state, fifo
 
 
+def _apply_head(params, state, y, *, train, quant=None):
+    """Head: BN -> ReLU [-> QuanInput] -> 1x1 conv -> class_num heatmaps
+    (ref:models/cu_net.py:192-198; quantized insertion point No.2,
+    ref:models/cu_net_prev_version_wig.py:277-281)."""
+    z, ns = batch_norm(y, params["norm"], state["norm"], train=train)
+    z = relu(z)
+    if quant is not None and quant.enabled and quant.bits_i <= 15:
+        from cunet_tpu.quant.wage import quan_input
+
+        z = quan_input(z, quant.bits_i)
+    z = conv2d(z, params["conv"], stride=1, padding=0)
+    return z, {"norm": ns}
+
+
 def apply_cu_net(
     params,
     state,
@@ -352,6 +380,7 @@ def apply_cu_net(
     cfg: ModelConfig,
     train: bool,
     rng: Optional[jax.Array] = None,
+    quant=None,
 ) -> Tuple[List[jnp.ndarray], Dict]:
     """Full forward: stem -> K x (intermedia -> hourglass [-> head if anchored]).
 
@@ -387,7 +416,8 @@ def apply_cu_net(
         )
         r = None if rng is None else jax.random.fold_in(rng, i)
         y, hg_state, fifos = _apply_hourglass(
-            params["hg"], hg_state, y, i, fifos, cfg=cfg, train=train, rng=r
+            params["hg"], hg_state, y, i, fifos, cfg=cfg, train=train, rng=r,
+            quant=quant,
         )
         return y, hg_state, inter_state, fifos
 
@@ -401,8 +431,8 @@ def apply_cu_net(
                 y, i, hg_state, inter_state, fifos
             )
         if (i + 1) in anchors:
-            hm, head_s = _apply_bottleneck(
-                params["heads"][i], state["heads"][i], [y], cfg=cfg, train=train
+            hm, head_s = _apply_head(
+                params["heads"][i], state["heads"][i], y, train=train, quant=quant
             )
             heads_state[i] = head_s
             outs.append(hm)

@@ -1,0 +1,224 @@
+"""CLI entry point reproducing the reference command surface.
+
+ref README usage: ``python cu-net.py --gpu_id 0 --exp_id cu-net-2 --layer_num 2
+--order 1 --loss_num 2 --is_train true --bs 24`` (ref:README.md:24-32). All
+reference flags are accepted (ref:options/base_options.py:12-33,
+ref:options/train_options.py:7-38); TPU-native additions are grouped at the
+bottom. Unlike the reference, parsing has no import-time side effects; the
+resolved config is dumped to ``<exp_dir>/<exp_id>/opt.txt`` at run start, as
+the reference did (ref:options/base_options.py:67-72).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y", "t")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("cunet-train")
+    # --- base options (ref:options/base_options.py) ---
+    p.add_argument("--data_dir", type=str, default="./dataset")
+    p.add_argument("--exp_dir", type=str, default="./exp")
+    p.add_argument("--exp_id", type=str, default="")
+    p.add_argument("--gpu_id", type=str, default="0",
+                   help="accepted for CLI parity; device selection is via JAX")
+    p.add_argument("--nThreads", type=int, default=4)
+    p.add_argument("--is_train", type=str2bool, default=True)
+    p.add_argument("--use_html", type=str2bool, default=False)
+    p.add_argument("--dataset", type=str, default="mpii",
+                   choices=["mpii", "face", "synthetic"])
+    # --- train options (ref:options/train_options.py) ---
+    p.add_argument("--layer_num", type=int, default=2)
+    p.add_argument("--order", type=int, default=1)
+    p.add_argument("--class_num", type=int, default=16)
+    p.add_argument("--loss_num", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--bs", type=int, default=24)
+    p.add_argument("--adjust_lr", type=str2bool, default=False)
+    p.add_argument("--resume_prefix", type=str, default="")
+    p.add_argument("--nEpochs", type=int, default=200)
+    p.add_argument("--best_pckh", type=float, default=0.0)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--display_freq", type=int, default=10)
+    p.add_argument("--bits_w", type=int, default=1)
+    p.add_argument("--bits_i", type=int, default=8)
+    p.add_argument("--bits_g", type=int, default=8)
+    # --- TPU-native additions ---
+    p.add_argument("--quantize", type=str2bool, default=False,
+                   help="enable WAGE quantized training (bits_{w,i,g})")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", type=str, default="bottleneck",
+                   choices=["none", "bottleneck", "layer", "block"])
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices)")
+    p.add_argument("--sp", type=int, default=1, help="spatial-partition size")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--neck_size", type=int, default=4)
+    p.add_argument("--growth_rate", type=int, default=32)
+    p.add_argument("--init_chan_num", type=int, default=128)
+    p.add_argument("--num_blocks", type=int, default=4)
+    p.add_argument("--inp_res", type=int, default=256)
+    p.add_argument("--out_res", type=int, default=64)
+    p.add_argument("--json_file", type=str, default="",
+                   help="annotation json (default <data_dir>/<dataset json>)")
+    p.add_argument("--img_folder", type=str, default="",
+                   help="image root (default <data_dir>)")
+    p.add_argument("--synthetic_len", type=int, default=64)
+    return p
+
+
+def main(argv: Optional[list] = None) -> int:
+    opt = build_parser().parse_args(argv)
+    if opt.exp_id == "":
+        print("Please set the experimental ID with option --exp_id")
+        return 1
+    exp_dir = os.path.join(opt.exp_dir, opt.exp_id)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "opt.txt"), "w") as f:
+        f.write("------------ Options -------------\n")
+        for k, v in sorted(vars(opt).items()):
+            f.write(f"{k}: {v}\n")
+        f.write("-------------- End ----------------\n")
+    run_training(opt, exp_dir)
+    return 0
+
+
+def run_training(opt, exp_dir: str) -> dict:
+    """Build everything and run the epoch loop. Returns final metrics."""
+    import jax
+
+    from cunet_tpu.config import ModelConfig, QuantConfig, TrainConfig
+    from cunet_tpu.data import (
+        DataLoader,
+        FaceDataset,
+        MPIIDataset,
+        SyntheticLandmarkDataset,
+    )
+    from cunet_tpu.models import init_cu_net
+    from cunet_tpu.parallel import make_mesh, replicated
+    from cunet_tpu.train import (
+        create_train_state,
+        lr_at_epoch,
+        make_optimizer,
+        make_sharded_train_step,
+        set_lr,
+    )
+    from cunet_tpu.train.loop import train_epoch, validate_epoch
+    from cunet_tpu.train.quant_step import quant_train_step
+    from cunet_tpu.utils import Checkpoint, ConsoleFileLogger, TrainHistory, TsvLogger
+
+    task = "face" if opt.dataset == "face" else "mpii"
+    cfg = ModelConfig(
+        layer_num=opt.layer_num,
+        order=opt.order,
+        class_num=opt.class_num,
+        loss_num=opt.loss_num,
+        neck_size=opt.neck_size,
+        growth_rate=opt.growth_rate,
+        init_chan_num=opt.init_chan_num,
+        num_blocks=opt.num_blocks,
+        compute_dtype=opt.compute_dtype,
+        remat=opt.remat,
+    )
+    qcfg = QuantConfig(
+        bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g, enabled=opt.quantize
+    )
+    tcfg = TrainConfig(lr=opt.lr, batch_size=opt.bs, n_epochs=opt.nEpochs,
+                       schedule="face" if task == "face" else "mpii",
+                       print_freq=opt.print_freq, seed=opt.seed)
+
+    log = ConsoleFileLogger(os.path.join(exp_dir, "log.txt"))
+    tsv = TsvLogger(os.path.join(exp_dir, "training-summary.txt"),
+                    resume=bool(opt.resume_prefix))
+    tsv.set_names(["epoch", "lr", "train_loss", "val_loss", "train_metric", "val_metric"])
+
+    # data
+    if opt.dataset == "synthetic":
+        mk = lambda train: SyntheticLandmarkDataset(
+            length=opt.synthetic_len, num_joints=opt.class_num, is_train=train,
+            inp_res=opt.inp_res, out_res=opt.out_res,
+        )
+    elif opt.dataset == "mpii":
+        jf = opt.json_file or os.path.join(opt.data_dir, "mpii-hr-lsp-normalizer.json")
+        mk = lambda train: MPIIDataset(jf, opt.img_folder or opt.data_dir,
+                                       is_train=train, seed=opt.seed,
+                                       inp_res=opt.inp_res, out_res=opt.out_res)
+    else:
+        jf = opt.json_file or os.path.join(opt.data_dir, "face.json")
+        mk = lambda train: FaceDataset(jf, opt.img_folder or opt.data_dir,
+                                       is_train=train, seed=opt.seed,
+                                       inp_res=opt.inp_res, out_res=opt.out_res)
+    train_set, val_set = mk(True), mk(False)
+    train_loader = DataLoader(train_set, tcfg.batch_size, shuffle=True,
+                              num_threads=opt.nThreads, seed=opt.seed)
+    val_loader = DataLoader(val_set, tcfg.batch_size, shuffle=False, drop_last=False)
+
+    # model + optimizer + mesh
+    params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
+    tx = make_optimizer(tcfg)
+    state = create_train_state(params, bn, tx)
+    n_dev = len(jax.devices())
+    dp = opt.dp
+    if dp == 0:  # largest device count that divides the batch
+        dp = max(n_dev // opt.sp, 1)
+        while tcfg.batch_size % dp:
+            dp -= 1
+    mesh = make_mesh(dp=dp, sp=opt.sp, devices=jax.devices()[: dp * opt.sp])
+    state = jax.device_put(state, replicated(mesh))
+
+    if qcfg.enabled:
+        step_fn = jax.jit(
+            lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx)
+        )
+    else:
+        step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False)
+
+    ckpt = Checkpoint(exp_dir)
+    history = TrainHistory("min" if task == "face" else "max",
+                           "val_rmse" if task == "face" else "val_pckh")
+    if opt.resume_prefix:
+        name = opt.resume_prefix.rstrip("-")
+        state, history = ckpt.load(state, name, history)
+        log.print_log(f"=> resumed from '{name}' at epoch {history.last_epoch}")
+    start_epoch = history.last_epoch + 1
+
+    metrics = {}
+    for epoch in range(start_epoch, tcfg.n_epochs + 1):
+        lr = lr_at_epoch(tcfg.lr, epoch, tcfg.schedule) if opt.adjust_lr else tcfg.lr
+        if opt.adjust_lr:
+            state = set_lr(state, lr)
+        state, train_loss, train_metric = train_epoch(
+            step_fn, state, train_loader, epoch,
+            log=log, print_freq=tcfg.print_freq, task=task,
+        )
+        val_loss, val_metric, preds = validate_epoch(
+            state.params, state.bn_state, val_loader, cfg=cfg,
+            quant=qcfg if qcfg.enabled else None,
+            flip_test=(task == "mpii"), task=task,
+            num_val=len(val_set), log=log,
+        )
+        metric_key = "val_rmse" if task == "face" else "val_pckh"
+        history.update(
+            {"epoch": epoch}, {"lr": lr},
+            {"train_loss": train_loss, "val_loss": val_loss},
+            {metric_key: val_metric},
+        )
+        tsv.append([epoch, lr, train_loss, val_loss, train_metric, val_metric])
+        ckpt.save(state, history, preds=preds)
+        metrics = {"epoch": epoch, "train_loss": train_loss,
+                   "val_loss": val_loss, metric_key: val_metric}
+    tsv.close()
+    return metrics
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3,17 +3,20 @@
 Matches the reference renderer exactly (ref:pylib/HumanPts.py:35-76), whose
 quirks are metric-affecting and deliberately preserved:
 
-- window is 7x7 (``tmp_size = ceil(3*sigma) = 3`` for sigma=1), values
-  outside the window are hard zero;
+- window corners are ``int(pt +/- 3*sigma)`` with **truncation toward zero**
+  (ref:pylib/HumanPts.py:52-53), so for fractional coords in (0, 3) the
+  window — and with it the peak, which always sits at ``ul + 3`` — shifts
+  toward the image edge (the face dataset feeds fractional points,
+  ref:data/face_bbx.py:131);
 - the Gaussian is **unnormalized** (peak == 1) and its denominator is
   ``(3*sigma)**2`` — NOT ``2*sigma**2`` (ref:pylib/HumanPts.py:66);
+- values outside the (2*3sigma+1)^2 window are hard zero;
 - points with x <= 0 or y <= 0 render as an all-zero channel
   (ref:pylib/HumanPts.py:43-44);
-- a fully out-of-bounds window renders as all-zero (ref:pylib/HumanPts.py:55-58);
-- the peak sits at the **truncated-int** point coordinate.
+- a fully out-of-bounds window renders as all-zero (ref:pylib/HumanPts.py:55-58).
 
 The reference loops per point and pastes numpy slices; here one broadcasted
-``exp`` over (L, H, W) renders the whole batch channel-last on device.
+``exp`` over (L, H, W) renders all channels on device, channel-last.
 """
 
 from __future__ import annotations
@@ -23,30 +26,38 @@ import numpy as np
 
 
 def render_heatmaps(pts, height: int, width: int, sigma: float = 1.0):
-    """(L, 2) int-truncated (x, y) points -> (H, W, L) float32 heatmaps.
-
-    jnp implementation; wrap in ``jax.vmap`` for a batch.
-    """
-    tmp_size = int(np.ceil(3 * sigma))
-    pts = jnp.asarray(pts)
-    px = jnp.floor(pts[:, 0]).astype(jnp.int32)  # int() truncation for pos coords
-    py = jnp.floor(pts[:, 1]).astype(jnp.int32)
-    xs = jnp.arange(width)[None, None, :]        # (1, 1, W)
-    ys = jnp.arange(height)[None, :, None]       # (1, H, 1)
-    dx = xs - px[:, None, None]
-    dy = ys - py[:, None, None]
-    g = jnp.exp(-(dx.astype(jnp.float32) ** 2 + dy.astype(jnp.float32) ** 2)
-                / float(tmp_size) ** 2)
-    window = (jnp.abs(dx) <= tmp_size) & (jnp.abs(dy) <= tmp_size)
+    """(L, 2) (x, y) points -> (H, W, L) float32 heatmaps (jnp; vmap-able)."""
+    t = float(np.ceil(3 * sigma))
+    ti = int(t)
+    pts = jnp.asarray(pts, jnp.float32)
+    ulx = jnp.trunc(pts[:, 0] - t).astype(jnp.int32)
+    uly = jnp.trunc(pts[:, 1] - t).astype(jnp.int32)
+    brx = jnp.trunc(pts[:, 0] + t).astype(jnp.int32)
+    bry = jnp.trunc(pts[:, 1] + t).astype(jnp.int32)
+    cx = ulx + ti  # peak pixel (ref pastes the 7x7 grid at ul; center idx 3)
+    cy = uly + ti
+    xs = jnp.arange(width)[None, None, :]
+    ys = jnp.arange(height)[None, :, None]
+    dx = (xs - cx[:, None, None]).astype(jnp.float32)
+    dy = (ys - cy[:, None, None]).astype(jnp.float32)
+    g = jnp.exp(-(dx**2 + dy**2) / (t * t))
+    in_win = (
+        (xs >= ulx[:, None, None]) & (xs <= brx[:, None, None])
+        & (ys >= uly[:, None, None]) & (ys <= bry[:, None, None])
+    )
     valid = (pts[:, 0] > 0) & (pts[:, 1] > 0)
-    maps = jnp.where(window & valid[:, None, None], g, 0.0)
+    visible = (ulx < width) & (uly < height) & (brx >= 0) & (bry >= 0)
+    keep = (valid & visible)[:, None, None]
+    maps = jnp.where(in_win & keep, g, 0.0)
     return jnp.transpose(maps, (1, 2, 0))  # (H, W, L)
 
 
 def render_heatmaps_np(pts, height: int, width: int, sigma: float = 1.0) -> np.ndarray:
-    """Pure-numpy host version with identical semantics (for the data
-    pipeline workers and as the golden oracle in tests)."""
-    tmp_size = int(np.ceil(3 * sigma))
+    """Pure-numpy host version with identical semantics (data-pipeline
+    workers; golden oracle in tests)."""
+    t = float(np.ceil(3 * sigma))
+    ti = int(t)
+    pts = np.asarray(pts, np.float64)
     L = pts.shape[0]
     out = np.zeros((height, width, L), np.float32)
     xs = np.arange(width)[None, :]
@@ -55,9 +66,12 @@ def render_heatmaps_np(pts, height: int, width: int, sigma: float = 1.0) -> np.n
         x, y = float(pts[i, 0]), float(pts[i, 1])
         if x <= 0 or y <= 0:
             continue
-        px, py = int(x), int(y)
-        dx, dy = xs - px, ys - py
-        g = np.exp(-(dx**2 + dy**2) / float(tmp_size) ** 2)
-        g[(np.abs(dx) > tmp_size) | (np.abs(dy) > tmp_size)] = 0
+        ulx, uly = int(x - t), int(y - t)  # trunc toward zero, like int()
+        brx, bry = int(x + t), int(y + t)
+        if ulx >= width or uly >= height or brx < 0 or bry < 0:
+            continue
+        cx, cy = ulx + ti, uly + ti
+        g = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (t * t))
+        g[(xs < ulx) | (xs > brx) | np.broadcast_to((ys < uly) | (ys > bry), g.shape)] = 0
         out[:, :, i] = g
     return out

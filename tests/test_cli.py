@@ -1,0 +1,53 @@
+"""End-to-end CLI test: tiny synthetic training run through the real entry
+point, checking logs, checkpoints, and resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cunet_tpu.cli.train import main
+
+
+def _args(tmp_path, epochs=1, extra=()):
+    return [
+        "--exp_id", "t", "--exp_dir", str(tmp_path),
+        "--dataset", "synthetic", "--layer_num", "2", "--order", "1",
+        "--class_num", "4", "--loss_num", "2", "--bs", "4",
+        "--nEpochs", str(epochs), "--synthetic_len", "8",
+        "--adjust_lr", "true", "--compute_dtype", "float32",
+        "--nThreads", "0", "--neck_size", "2", "--growth_rate", "8",
+        "--init_chan_num", "16", "--num_blocks", "2",
+        "--inp_res", "32", "--out_res", "8", "--print_freq", "1",
+    ] + list(extra)
+
+
+class TestCli:
+    def test_full_run_artifacts(self, tmp_path):
+        assert main(_args(tmp_path, epochs=1)) == 0
+        exp = tmp_path / "t"
+        assert (exp / "opt.txt").exists()
+        assert (exp / "log.txt").exists()
+        summary = (exp / "training-summary.txt").read_text().strip().split("\n")
+        assert summary[0].split("\t") == [
+            "epoch", "lr", "train_loss", "val_loss", "train_metric", "val_metric"
+        ]
+        assert len(summary) == 2
+        # reference-style lr-encoded checkpoint name
+        assert (exp / "lr-0.00025-1").is_dir()
+        assert (exp / "lr-0.00025-1-preds.mat").exists()
+        hist = json.loads((exp / "lr-0.00025-1-history.json").read_text())
+        assert hist["epoch"][-1]["epoch"] == 1
+
+    def test_resume_continues(self, tmp_path):
+        main(_args(tmp_path, epochs=1))
+        # resume from epoch 1, run through epoch 2
+        assert main(_args(tmp_path, epochs=2, extra=["--resume_prefix", "lr-0.00025-1"])) == 0
+        exp = tmp_path / "t"
+        assert (exp / "lr-0.00025-2").is_dir()
+        summary = (exp / "training-summary.txt").read_text().strip().split("\n")
+        assert len(summary) == 3  # header + epoch1 + epoch2 (appended on resume)
+
+    def test_missing_exp_id(self, tmp_path, capsys):
+        assert main(["--exp_dir", str(tmp_path)]) == 1

@@ -59,6 +59,8 @@ class TestHeatmapRender:
             [[10, 12], [3, 3], [0, 5], [5, 0]],          # includes invalid pts
             [[1, 1], [63, 63], [62, 2], [2, 62]],        # window clipped at edges
             [[-4, -4], [70, 70], [63, 1]],               # fully out / boundary
+            [[2.5, 2.5], [10.75, 40.2], [0.5, 30]],      # fractional coords
+            [[1.5, 1.5], [2.9, 50.0]],                   # frac in (0,3): trunc shift
         ],
     )
     def test_matches_paste_oracle(self, pts):
@@ -68,7 +70,7 @@ class TestHeatmapRender:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
     def test_jnp_matches_np(self):
-        pts = np.array([[10, 12], [3, 3], [0, 5], [63, 63]], float)
+        pts = np.array([[10, 12], [3, 3], [0, 5], [63, 63], [2.5, 2.5], [1.5, 40.2]], float)
         got = np.asarray(render_heatmaps(pts, 64, 64))
         want = render_heatmaps_np(pts, 64, 64)
         np.testing.assert_allclose(got, want, atol=1e-6)

@@ -38,6 +38,7 @@ from cunet_tpu.ops import (
     batch_norm,
     conv2d,
     dense_bottleneck,
+    dense_bottleneck_infer_pallas,
     dense_bottleneck_remat,
     init_bn,
     init_bn_state,
@@ -199,6 +200,8 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
     s = state["norm"]
     if train and cfg.remat == "bottleneck":
         out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train)
+    elif not train and cfg.use_pallas:
+        out, new_s = dense_bottleneck_infer_pallas(list(feats), p, s)
     else:
         out, new_s = dense_bottleneck(list(feats), p, s, train=train)
     return out, {"norm": new_s}

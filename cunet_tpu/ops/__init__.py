@@ -11,7 +11,11 @@ from cunet_tpu.ops.layers import (
     relu,
     upsample_nearest_2x,
 )
-from cunet_tpu.ops.bottleneck import dense_bottleneck, dense_bottleneck_remat
+from cunet_tpu.ops.bottleneck import (
+    dense_bottleneck,
+    dense_bottleneck_infer_pallas,
+    dense_bottleneck_remat,
+)
 
 __all__ = [
     "BN_EPS",
@@ -20,6 +24,7 @@ __all__ = [
     "bn_inference_scale_shift",
     "conv2d",
     "dense_bottleneck",
+    "dense_bottleneck_infer_pallas",
     "dense_bottleneck_remat",
     "init_bn",
     "init_bn_state",

@@ -102,6 +102,19 @@ def dense_bottleneck(
     return acc.astype(out_dtype), new_state
 
 
+def dense_bottleneck_infer_pallas(features, params, state, *, interpret=False):
+    """Eval-mode dispatch to the fused Pallas kernel: fold running-stat BN
+    into per-channel scale/shift, then one VMEM-resident fused pass."""
+    from cunet_tpu.kernels.fused_bottleneck import fused_bottleneck_infer
+    from cunet_tpu.ops.layers import bn_inference_scale_shift
+
+    inv, shift = bn_inference_scale_shift(params["norm"], state)
+    out = fused_bottleneck_infer(
+        list(features), inv, shift, params["conv"], interpret=interpret
+    )
+    return out, state
+
+
 def dense_bottleneck_remat(features, params, state, *, train, **kw):
     """``dense_bottleneck`` under ``jax.checkpoint``: nothing between the
     inputs and the 1x1-conv output is saved for backward — the BN/ReLU

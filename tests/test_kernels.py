@@ -1,0 +1,99 @@
+"""Pallas kernel tests (interpret mode on CPU) vs the lax reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunet_tpu.config import ModelConfig
+from cunet_tpu.kernels.fused_bottleneck import _row_tile, fused_bottleneck_infer
+from cunet_tpu.models import apply_cu_net, init_cu_net
+from cunet_tpu.ops import dense_bottleneck, init_bn, init_bn_state
+from cunet_tpu.ops.layers import bn_inference_scale_shift
+
+SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16, class_num=4, num_blocks=2)
+
+
+class TestRowTile:
+    def test_divisor_selection(self):
+        assert _row_tile(131072) == 512
+        assert _row_tile(128) == 128
+        assert _row_tile(24) == 24
+        assert _row_tile(20) == 0  # not a multiple of 8
+        assert _row_tile(8) == 8
+
+
+class TestFusedBottleneckKernel:
+    def _setup(self, dtype=jnp.float32):
+        ks = jax.random.split(jax.random.PRNGKey(0), 8)
+        feats = [
+            jax.random.normal(ks[0], (2, 8, 8, 16), dtype),
+            jax.random.normal(ks[1], (2, 8, 8, 32), dtype),
+            jax.random.normal(ks[2], (2, 8, 8, 8), dtype),
+        ]
+        ctot, cout = 56, 24
+        params = {
+            "norm": init_bn(ks[3], ctot),
+            "conv": jax.random.normal(ks[4], (1, 1, ctot, cout)) * 0.1,
+        }
+        state = init_bn_state(ctot)
+        # non-trivial running stats
+        state = {
+            "mean": jax.random.normal(ks[5], (ctot,)) * 0.1,
+            "var": jax.random.uniform(ks[6], (ctot,)) + 0.5,
+        }
+        return feats, params, state
+
+    def test_matches_lax_eval(self):
+        feats, params, state = self._setup()
+        inv, shift = bn_inference_scale_shift(params["norm"], state)
+        got = fused_bottleneck_infer(
+            feats, inv, shift, params["conv"], interpret=True
+        )
+        want, _ = dense_bottleneck(feats, params, state, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_bf16_inputs(self):
+        feats, params, state = self._setup(jnp.bfloat16)
+        inv, shift = bn_inference_scale_shift(params["norm"], state)
+        got = fused_bottleneck_infer(feats, inv, shift, params["conv"], interpret=True)
+        want, _ = dense_bottleneck(feats, params, state, train=False)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=2e-2
+        )
+
+    def test_odd_rows_fall_back(self):
+        """Row counts that don't tile to multiples of 8 use the lax path."""
+        ks = jax.random.split(jax.random.PRNGKey(1), 4)
+        feats = [jax.random.normal(ks[0], (1, 5, 4, 16))]  # m = 20
+        params = {
+            "norm": init_bn(ks[1], 16),
+            "conv": jax.random.normal(ks[2], (1, 1, 16, 8)) * 0.1,
+        }
+        state = init_bn_state(16)
+        inv, shift = bn_inference_scale_shift(params["norm"], state)
+        got = fused_bottleneck_infer(feats, inv, shift, params["conv"], interpret=True)
+        want, _ = dense_bottleneck(feats, params, state, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+class TestModelPallasDispatch:
+    def test_eval_forward_matches(self, monkeypatch):
+        """Full model in use_pallas mode (interpret) == lax mode."""
+        import cunet_tpu.kernels.fused_bottleneck as fb
+
+        orig = fb.fused_bottleneck_infer
+        monkeypatch.setattr(
+            fb, "fused_bottleneck_infer",
+            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        )
+        cfg_p = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_p[-1]), np.asarray(out_l[-1]), rtol=1e-4, atol=1e-4
+        )

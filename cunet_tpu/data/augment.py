@@ -121,3 +121,29 @@ def color_jitter(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     for ch in range(out.shape[2]):
         out[:, :, ch] = np.clip(out[:, :, ch] * rng.uniform(0.6, 1.4), 0, 1)
     return out
+
+
+def crop_host(img, center, scale, rot, res, size=REF_SIZE, native: bool = False):
+    """Crop dispatch: ``native=True`` uses the one-pass C++ bilinear warp
+    (float path, ~an order of magnitude fewer resampling passes);
+    ``native=False`` keeps the PIL compat chain for reference parity."""
+    if native:
+        from cunet_tpu.data.native import crop_fast
+
+        out = crop_fast(img, center, scale, rot, res, size)
+        if out is not None:
+            return out
+    return crop(img, center, scale, rot, res, size)
+
+
+def render_heatmaps_host(pts, height, width, sigma=1.0):
+    """Heatmap render dispatch: the native renderer is bit-compatible with
+    the Python one, so it is used whenever the library builds."""
+    from cunet_tpu.data.native import render_heatmaps_native
+
+    out = render_heatmaps_native(np.asarray(pts, float), height, width, sigma)
+    if out is not None:
+        return out
+    from cunet_tpu.ops.heatmap import render_heatmaps_np
+
+    return render_heatmaps_np(pts, height, width, sigma)

@@ -23,12 +23,12 @@ import numpy as np
 
 from cunet_tpu.data.augment import (
     color_jitter,
-    crop,
+    crop_host,
     load_image,
+    render_heatmaps_host,
     sample_from_bounded_gaussian,
 )
 from cunet_tpu.geometry import transform_pts_int
-from cunet_tpu.ops.heatmap import render_heatmaps_np
 
 
 def pts_file_to_landmarks(fname: str) -> np.ndarray:
@@ -50,6 +50,7 @@ class FaceDataset:
         rot_factor: float = 30.0,
         std_size: int = 200,
         seed: Optional[int] = None,
+        native_crop: bool = False,
     ):
         self.img_folder = img_folder
         self.inp_res = inp_res
@@ -60,6 +61,7 @@ class FaceDataset:
         self.rot_factor = rot_factor
         self.std_size = std_size
         self.rng = np.random.RandomState(seed)
+        self.native_crop = native_crop
 
         with open(jsonfile) as f:
             self.anno = json.load(f)
@@ -102,10 +104,10 @@ class FaceDataset:
                 r = 0.0
             img = color_jitter(img, self.rng)
 
-        inp = crop(img, c, s, r, self.inp_res, self.std_size)
+        inp = crop_host(img, c, s, r, self.inp_res, self.std_size, native=self.native_crop)
         pts_input_res = transform_pts_int(pts, c, s, r, self.inp_res, self.std_size)
         pts_aug = pts_input_res * (1.0 * self.out_res / self.inp_res)
-        heatmap = render_heatmaps_np(pts_aug, self.out_res, self.out_res, self.sigma)
+        heatmap = render_heatmaps_host(pts_aug, self.out_res, self.out_res, self.sigma)
 
         return {
             "image": inp.astype(np.float32),

@@ -26,13 +26,13 @@ import numpy as np
 
 from cunet_tpu.data.augment import (
     color_jitter,
-    crop,
+    crop_host,
     fliplr_image,
     load_image,
+    render_heatmaps_host,
     sample_from_bounded_gaussian,
 )
 from cunet_tpu.geometry import MPII_FLIP_PAIRS, shufflelr, transform_pts_int
-from cunet_tpu.ops.heatmap import render_heatmaps_np
 
 
 class MPIIDataset:
@@ -48,6 +48,7 @@ class MPIIDataset:
         rot_factor: float = 30.0,
         std_size: int = 200,
         seed: Optional[int] = None,
+        native_crop: bool = False,
     ):
         self.img_folder = img_folder
         self.inp_res = inp_res
@@ -58,6 +59,7 @@ class MPIIDataset:
         self.rot_factor = rot_factor
         self.std_size = std_size
         self.rng = np.random.RandomState(seed)
+        self.native_crop = native_crop
 
         with open(jsonfile) as f:
             self.anno = json.load(f)
@@ -103,11 +105,9 @@ class MPIIDataset:
                 c[0] = img.shape[1] - c[0]
             img = color_jitter(img, self.rng)
 
-        inp = crop(img, c, s, r, self.inp_res, self.std_size)
+        inp = crop_host(img, c, s, r, self.inp_res, self.std_size, native=self.native_crop)
         pts_aug = transform_pts_int(pts, c, s, r, self.out_res, self.std_size)
-        heatmap = render_heatmaps_np(
-            pts_aug, self.out_res, self.out_res, self.sigma
-        )
+        heatmap = render_heatmaps_host(pts_aug, self.out_res, self.out_res, self.sigma)
         # valid_pts: zero where skipped (ref:pylib/HumanPts.py:38-46)
         valid = (pts_aug[:, 0] > 0) & (pts_aug[:, 1] > 0)
         pts_aug = np.where(valid[:, None], pts_aug, 0)

@@ -1,4 +1,11 @@
 from cunet_tpu.utils.checkpoint import Checkpoint, strip_resume_prefix
+from cunet_tpu.utils.guards import (
+    assert_finite,
+    check_finite,
+    find_nonfinite,
+    guard_update,
+)
+from cunet_tpu.utils.profiling import StepTimer, compiled_cost, roofline_fraction, trace
 from cunet_tpu.utils.history import AverageMeter, TrainHistory
 from cunet_tpu.utils.logger import ConsoleFileLogger, TsvLogger
 from cunet_tpu.utils.visualizer import (
@@ -11,6 +18,14 @@ from cunet_tpu.utils.visualizer import (
 
 __all__ = [
     "AverageMeter",
+    "StepTimer",
+    "assert_finite",
+    "check_finite",
+    "compiled_cost",
+    "find_nonfinite",
+    "guard_update",
+    "roofline_fraction",
+    "trace",
     "Checkpoint",
     "ConsoleFileLogger",
     "HtmlReport",

@@ -119,3 +119,50 @@ class TestVisualizer:
         assert out[16, 16].sum() > 0  # white dot drawn
         save_image_grid([out, out, out], str(tmp_path / "g.png"), cols=2)
         assert (tmp_path / "g.png").exists()
+
+
+class TestGuards:
+    def test_check_finite(self):
+        from cunet_tpu.utils import check_finite, find_nonfinite, assert_finite
+        import jax.numpy as jnp
+
+        good = {"a": jnp.ones((3,)), "b": [jnp.zeros((2,))]}
+        bad = {"a": jnp.array([1.0, np.nan]), "b": [jnp.zeros((2,))]}
+        assert bool(check_finite(good))
+        assert not bool(check_finite(bad))
+        names = find_nonfinite(bad)
+        assert len(names) == 1 and "a" in names[0]
+        with pytest.raises(FloatingPointError):
+            assert_finite(bad, "grads")
+
+    def test_guard_update_skips_nan_step(self):
+        from cunet_tpu.utils import guard_update
+        import flax.struct
+        import jax.numpy as jnp
+
+        @flax.struct.dataclass
+        class S:
+            params: dict
+
+        old = S(params={"w": jnp.ones((2,))})
+        new_bad = S(params={"w": jnp.array([np.nan, 1.0])})
+        merged, ok = guard_update(new_bad, old, {"loss": jnp.asarray(0.5)})
+        assert not bool(ok)
+        np.testing.assert_array_equal(np.asarray(merged.params["w"]), [1, 1])
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from cunet_tpu.utils import StepTimer
+
+        t = StepTimer()
+        t.data_ready()
+        t.step_done()
+        assert "data" in t.summary() and "step" in t.summary()
+
+    def test_compiled_cost(self):
+        from cunet_tpu.utils import compiled_cost
+        import jax.numpy as jnp
+
+        cost = compiled_cost(lambda x: x @ x, jnp.ones((64, 64)))
+        assert cost["flops"] > 0

@@ -1,0 +1,94 @@
+"""Low-bit matmul kernel tests (interpret mode) + multihost helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunet_tpu.kernels.quant_matmul import (
+    binarized_matmul_infer,
+    int8_matmul_dequant,
+    pack_binarized_weight,
+    quantize_activations_i8,
+)
+from cunet_tpu.quant import binarize_weight_value, quan_input
+
+
+class TestInt8Matmul:
+    def test_matches_fp_reference(self):
+        rs = np.random.RandomState(0)
+        x = rs.randint(-127, 128, (64, 32)).astype(np.int8)
+        w = rs.choice([-1, 0, 1], (32, 16)).astype(np.int8)
+        cs = rs.rand(16).astype(np.float32)
+        got = int8_matmul_dequant(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(cs), 1 / 128,
+            interpret=True,
+        )
+        want = (x.astype(np.float32) @ w.astype(np.float32)) * cs / 128
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+    def test_fallback_odd_rows(self):
+        x = jnp.ones((17, 32), jnp.int8)
+        w = jnp.ones((32, 8), jnp.int8)
+        got = int8_matmul_dequant(x, w, jnp.ones(8), 1.0)
+        np.testing.assert_allclose(np.asarray(got), 32.0)
+
+
+class TestPacking:
+    def test_activation_quant_matches_wage(self):
+        """int8 packing must reproduce Q(C(x, b), b) after dequant."""
+        x = jnp.asarray(np.random.RandomState(0).randn(128).astype(np.float32))
+        vals, scale = quantize_activations_i8(x, 8)
+        dequant = vals.astype(jnp.float32) * scale
+        want = quan_input(x, 8)  # fwd = Q(C(x, 8), 8)
+        np.testing.assert_allclose(np.asarray(dequant), np.asarray(want), atol=1e-7)
+
+    def test_weight_pack_matches_binarize(self):
+        w = jnp.asarray(np.random.RandomState(1).randn(1, 1, 32, 8).astype(np.float32))
+        sign, cs = pack_binarized_weight(w, bits_g=8)
+        dequant = sign.astype(jnp.float32) * cs[None, :]
+        want = binarize_weight_value(w, 8)[0, 0]
+        np.testing.assert_allclose(np.asarray(dequant), np.asarray(want), atol=1e-7)
+
+    def test_full_binarized_matmul(self):
+        rs = np.random.RandomState(2)
+        x = jnp.asarray(rs.randn(2, 4, 4, 32).astype(np.float32) * 0.5)
+        w = jnp.asarray(rs.randn(1, 1, 32, 16).astype(np.float32) * 0.2)
+        got = binarized_matmul_infer(x, w, interpret=True)
+        # oracle: dequantized WAGE activations @ binarized weights
+        xq = quan_input(x, 8).reshape(-1, 32)
+        wq = binarize_weight_value(w, 8)[0, 0]
+        want = (xq @ wq).reshape(2, 4, 4, 16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestMultihost:
+    def test_initialize_noop_single_process(self):
+        from cunet_tpu.parallel.multihost import initialize_multihost
+
+        assert initialize_multihost() is False  # no coordinator env set
+
+    def test_pod_mesh_shape(self):
+        from cunet_tpu.parallel.multihost import make_pod_mesh
+
+        mesh = make_pod_mesh(sp=2)
+        assert mesh.devices.shape == (len(jax.devices()) // 2, 2)
+        assert mesh.axis_names == ("data", "space")
+
+    def test_host_local_batch(self):
+        from cunet_tpu.parallel.multihost import (
+            host_local_batch_to_global,
+            make_pod_mesh,
+        )
+
+        mesh = make_pod_mesh(sp=1)
+        batch = {
+            "image": np.ones((8, 4, 4, 3), np.float32),
+            "center": np.zeros((8, 2), np.float32),
+        }
+        out = host_local_batch_to_global(mesh, batch)
+        assert isinstance(out["image"], jax.Array)
+        assert out["image"].shape == (8, 4, 4, 3)
+        assert isinstance(out["center"], np.ndarray)  # host-local

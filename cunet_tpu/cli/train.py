@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_html", type=str2bool, default=False)
     p.add_argument("--dataset", type=str, default="mpii",
                    choices=["mpii", "face", "synthetic"])
+    p.add_argument("--model", type=str, default="cu_net",
+                   choices=["cu_net", "dense_unet"],
+                   help="cu_net = coupled U-Nets (ref cu-net.py); dense_unet = "
+                        "single dense hourglass baseline (ref naive-dense-unet.py)")
     # --- train options (ref:options/train_options.py) ---
     p.add_argument("--layer_num", type=int, default=2)
     p.add_argument("--order", type=int, default=1)
@@ -103,7 +107,7 @@ def run_training(opt, exp_dir: str) -> dict:
         MPIIDataset,
         SyntheticLandmarkDataset,
     )
-    from cunet_tpu.models import init_cu_net
+    from cunet_tpu.models import DenseUNetConfig, init_cu_net, init_dense_unet
     from cunet_tpu.parallel import make_mesh, replicated
     from cunet_tpu.train import (
         create_train_state,
@@ -114,6 +118,7 @@ def run_training(opt, exp_dir: str) -> dict:
     )
     from cunet_tpu.train.loop import train_epoch, validate_epoch
     from cunet_tpu.train.quant_step import quant_train_step
+    from cunet_tpu.train.step import dense_unet_apply
     from cunet_tpu.utils import Checkpoint, ConsoleFileLogger, TrainHistory, TsvLogger
 
     task = "face" if opt.dataset == "face" else "mpii"
@@ -163,7 +168,18 @@ def run_training(opt, exp_dir: str) -> dict:
     val_loader = DataLoader(val_set, tcfg.batch_size, shuffle=False, drop_last=False)
 
     # model + optimizer + mesh
-    params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
+    apply_fn = None
+    if opt.model == "dense_unet":
+        du_cfg = DenseUNetConfig(
+            layer_num=opt.layer_num, neck_size=opt.neck_size,
+            growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
+            class_num=opt.class_num, num_blocks=opt.num_blocks,
+            compute_dtype=opt.compute_dtype, remat=opt.remat,
+        )
+        params, bn = init_dense_unet(jax.random.PRNGKey(opt.seed), du_cfg)
+        apply_fn = dense_unet_apply(du_cfg)
+    else:
+        params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
     tx = make_optimizer(tcfg)
     state = create_train_state(params, bn, tx)
     n_dev = len(jax.devices())
@@ -180,7 +196,7 @@ def run_training(opt, exp_dir: str) -> dict:
             lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx)
         )
     else:
-        step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False)
+        step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False, apply_fn=apply_fn)
 
     ckpt = Checkpoint(exp_dir)
     history = TrainHistory("min" if task == "face" else "max",
@@ -200,11 +216,16 @@ def run_training(opt, exp_dir: str) -> dict:
             step_fn, state, train_loader, epoch,
             log=log, print_freq=tcfg.print_freq, task=task,
         )
+        eval_fn = None
+        if apply_fn is not None:
+            eval_fn = jax.jit(
+                lambda p, b, im: apply_fn(p, b, im, train=False)[0]
+            )
         val_loss, val_metric, preds = validate_epoch(
             state.params, state.bn_state, val_loader, cfg=cfg,
             quant=qcfg if qcfg.enabled else None,
             flip_test=(task == "mpii"), task=task,
-            num_val=len(val_set), log=log,
+            num_val=len(val_set), log=log, eval_fn=eval_fn,
         )
         metric_key = "val_rmse" if task == "face" else "val_pckh"
         history.update(

@@ -43,6 +43,7 @@ class DenseUNetConfig:
     drop_rate: float = 0.0
     compute_dtype: str = "float32"
     remat: str = "bottleneck"
+    use_pallas: bool = False
 
     @property
     def bottleneck_chan(self) -> int:

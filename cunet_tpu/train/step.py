@@ -24,6 +24,25 @@ from cunet_tpu.train.loss import intermediate_mse
 from cunet_tpu.train.state import TrainState
 
 
+def _default_apply(cfg: ModelConfig):
+    def apply_fn(params, bn_state, image, *, train, rng=None):
+        return apply_cu_net(params, bn_state, image, cfg=cfg, train=train, rng=rng)
+
+    return apply_fn
+
+
+def dense_unet_apply(cfg):
+    """Adapter for the single-head naive dense U-Net (the baseline trained
+    by ref:naive-dense-unet.py): wraps its single output as a 1-anchor list."""
+    from cunet_tpu.models import apply_dense_unet
+
+    def apply_fn(params, bn_state, image, *, train, rng=None):
+        out, new_bn = apply_dense_unet(params, bn_state, image, cfg=cfg, train=train)
+        return [out], new_bn
+
+    return apply_fn
+
+
 def train_step(
     state: TrainState,
     batch: dict,
@@ -31,18 +50,22 @@ def train_step(
     cfg: ModelConfig,
     tx: optax.GradientTransformation,
     rng: Optional[jax.Array] = None,
+    apply_fn=None,
 ):
     """One optimization step. ``batch = {'image': NHWC, 'heatmap': NHWC}``.
 
     Returns (new_state, metrics) where metrics carries the scalar loss and
     the final-anchor heatmaps for on-host accuracy (ref:cu-net.py:191-196
-    computes PCK on output[-1] every iteration).
+    computes PCK on output[-1] every iteration). ``apply_fn`` overrides the
+    model (defaults to the coupled U-Net).
     """
+    if apply_fn is None:
+        apply_fn = _default_apply(cfg)
 
     def loss_fn(params):
         step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
-        outs, new_bn = apply_cu_net(
-            params, state.bn_state, batch["image"], cfg=cfg, train=True, rng=step_rng
+        outs, new_bn = apply_fn(
+            params, state.bn_state, batch["image"], train=True, rng=step_rng
         )
         loss = intermediate_mse(outs, batch["heatmap"])
         return loss, (new_bn, outs[-1])
@@ -61,16 +84,19 @@ def train_step(
     return new_state, {"loss": loss, "last_out": last_out}
 
 
-def eval_step(params, bn_state, batch: dict, *, cfg: ModelConfig):
+def eval_step(params, bn_state, batch: dict, *, cfg: ModelConfig, apply_fn=None):
     """Validation forward: per-anchor losses + final heatmaps
     (ref:cu-net.py:234-238)."""
-    outs, _ = apply_cu_net(params, bn_state, batch["image"], cfg=cfg, train=False)
+    if apply_fn is None:
+        apply_fn = _default_apply(cfg)
+    outs, _ = apply_fn(params, bn_state, batch["image"], train=False)
     loss = intermediate_mse(outs, batch["heatmap"])
     return {"loss": loss, "last_out": outs[-1]}
 
 
 def make_sharded_train_step(
-    mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *, donate: bool = True
+    mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *,
+    donate: bool = True, apply_fn=None,
 ):
     """Compile ``train_step`` over a mesh: batch sharded (N over data, H over
     space), state replicated. XLA inserts the ICI all-reduce for grads and
@@ -78,7 +104,7 @@ def make_sharded_train_step(
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
-    fn = functools.partial(train_step, cfg=cfg, tx=tx)
+    fn = functools.partial(train_step, cfg=cfg, tx=tx, apply_fn=apply_fn)
     return jax.jit(
         fn,
         in_shardings=(rep, {"image": bsh, "heatmap": bsh}),

@@ -7,9 +7,12 @@ chip for the model's conv FLOPs (BASELINE.md north star: >=95% of conv-FLOP
 roofline on TPU v5e). The reference publishes no speed numbers, so roofline
 is the comparison point.
 
-Methodology: the output of every timed step is verified finite via a host
-transfer after timing (an async-dispatch failure must crash the bench, not
-inflate it), and each timed iteration blocks on its result.
+Methodology: ``block_until_ready`` does NOT synchronize through the axon
+relay used in this environment, so timing is fetch-forced: the jitted step
+returns a scalar reduction of the heatmaps, N steps are dispatched (device
+executes in submission order), and the wall clock stops when the LAST
+step's scalar materializes on the host. Output finiteness is verified so an
+async failure crashes rather than inflating the number.
 """
 
 import json
@@ -50,30 +53,32 @@ def main():
         compute_dtype="bfloat16",
         remat="none",
     )
-    batch = 32
+    batch = 64
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
     def fwd(params, state, x):
         outs, _ = apply_cu_net(params, state, x, cfg=cfg, train=False)
-        return outs[-1]
+        out = outs[-1]
+        # scalar pair: (sum, min) lets the host verify finiteness cheaply
+        o32 = out.astype(jnp.float32)
+        return jnp.sum(o32), jnp.min(o32)
 
     x = jnp.ones((batch, 256, 256, 3), jnp.bfloat16)
     compiled = jax.jit(fwd).lower(params, state, x).compile()
     flops_per_batch = compiled.cost_analysis().get("flops", 0.0)
 
-    # warmup + correctness gate: output must materialize on host and be finite
-    out = compiled(params, state, x)
-    host = np.asarray(out, dtype=np.float32)
-    assert np.isfinite(host).all(), "non-finite output"
+    # warmup + correctness gate
+    s0, m0 = compiled(params, state, x)
+    assert np.isfinite(float(s0)) and np.isfinite(float(m0)), "non-finite output"
 
+    n_iters = 15
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(10):
-            compiled(params, state, x).block_until_ready()
-        times.append((time.perf_counter() - t0) / 10)
-    # re-verify a result actually computed (async errors surface on transfer)
-    np.asarray(compiled(params, state, x), dtype=np.float32)
+        res = [compiled(params, state, x) for _ in range(n_iters)]
+        s_last = float(res[-1][0])  # fetch forces completion of the queue
+        times.append((time.perf_counter() - t0) / n_iters)
+        assert np.isfinite(s_last)
 
     dt = statistics.median(times)
     imgs_per_sec = batch / dt

@@ -375,6 +375,196 @@ def _apply_head(params, state, y, *, train, quant=None):
     return z, {"norm": ns}
 
 
+# ---------------------------------------------------------------------------
+# lax.scan over U-Net slots (steady state: i >= max(order, 1))
+# ---------------------------------------------------------------------------
+#
+# Once i >= order every FIFO holds exactly `order` entries and every slot's
+# tensor shapes are identical, so the per-slot weights can be stacked and the
+# remaining slots run as ONE scanned body. This cuts traced-HLO size (and
+# with it compile time) by ~K/(order+1)x for the K=8/K=16 flagships while
+# computing exactly what the unrolled loop computes (asserted in tests).
+
+
+def _slot_subtree(tree, i: int, cfg: ModelConfig):
+    """Per-slot params/state view: slot i of every block position, the
+    intermedia adapter serving slot i, and head i."""
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = []
+        for blk in tree["hg"][key]:
+            hg[key].append({name: blk[name][i] for name in blk})
+    hg["neck"] = {name: tree["hg"]["neck"][name][i] for name in tree["hg"]["neck"]}
+    return {
+        "hg": hg,
+        "inter": tree["intermedia"]["adapters"][i - 1],
+        "head": tree["heads"][i],
+    }
+
+
+def _stack_slots(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _scan_block(p, s, feats, fifo, *, cfg, train, requires_skip, rng, quant):
+    """Steady-state dense block: FIFO pop+push (len == order)."""
+    x = list(feats) + list(fifo)
+    out, layer_s = _apply_dense_layer(
+        p["layers"], s["layers"], x, cfg=cfg, train=train, rng=rng, quant=quant
+    )
+    new_fifo = tuple(fifo[1:]) + (out,) if cfg.order > 0 else fifo
+    x = x + [out]
+    ahead, ahead_s = _apply_bottleneck(
+        p["adapters_ahead"], s["adapters_ahead"], x, cfg=cfg, train=train
+    )
+    new_s = {"layers": layer_s, "adapters_ahead": ahead_s}
+    if requires_skip:
+        skip, skip_s = _apply_bottleneck(
+            p["adapters_skip"], s["adapters_skip"], x, cfg=cfg, train=train
+        )
+        new_s["adapters_skip"] = skip_s
+        return (ahead, skip), new_fifo, new_s
+    return (ahead, None), new_fifo, new_s
+
+
+def _apply_slots_scanned(
+    params, state, y, fifos, scan_range, *, cfg, train, rng, quant
+):
+    """Run slots ``scan_range`` (all in FIFO steady state) under lax.scan.
+
+    Returns (y, fifos, stacked_head_outs, stacked_new_states).
+    """
+    xs_params = _stack_slots([_slot_subtree(params, i, cfg) for i in scan_range])
+    xs_state = _stack_slots([_slot_subtree(state, i, cfg) for i in scan_range])
+    if rng is None:
+        xs_rng = jnp.zeros((len(scan_range), 2), jnp.uint32)
+    else:
+        xs_rng = jnp.stack([jax.random.fold_in(rng, i) for i in scan_range])
+
+    # tuple-ize fifos so the carry structure is static
+    carry_fifos = {
+        "down": tuple(tuple(f) for f in fifos["down"]),
+        "neck": tuple(fifos["neck"]),
+        "up": tuple(tuple(f) for f in fifos["up"]),
+        "intermedia": tuple(fifos["intermedia"]),
+    }
+
+    def body(carry, xs):
+        y, f = carry
+        p, s, rk = xs
+        r = rk if rng is not None else None
+
+        # intermedia (steady state: i >= 1 and fifo full)
+        feats = [y] + list(f["intermedia"])
+        y2, inter_s = _apply_bottleneck(
+            p["inter"], s["inter"], feats, cfg=cfg, train=train
+        )
+        f_inter = tuple(f["intermedia"][1:]) + (y2,) if cfg.order > 0 else f["intermedia"]
+
+        # hourglass
+        y = y2
+        new_down, new_up = [], []
+        f_down, f_up = list(f["down"]), list(f["up"])
+        skips = []
+        for j in range(cfg.num_blocks):
+            rj = None if r is None else jax.random.fold_in(r, j)
+            (y, skip), f_down[j], s_blk = _scan_block(
+                p["hg"]["down"][j], s["hg"]["down"][j], [y], f_down[j],
+                cfg=cfg, train=train, requires_skip=True, rng=rj, quant=quant,
+            )
+            new_down.append(s_blk)
+            skips.append(skip)
+            y = max_pool_2x2(y)
+        rj = None if r is None else jax.random.fold_in(r, 100)
+        (y, _), f_neck, s_neck = _scan_block(
+            p["hg"]["neck"], s["hg"]["neck"], [y], f["neck"],
+            cfg=cfg, train=train, requires_skip=False, rng=rj, quant=quant,
+        )
+        for j in reversed(range(cfg.num_blocks)):
+            y = upsample_nearest_2x(y)
+            rj = None if r is None else jax.random.fold_in(r, 200 + j)
+            (y, _), f_up[j], s_blk = _scan_block(
+                p["hg"]["up"][j], s["hg"]["up"][j], [y, skips[j]], f_up[j],
+                cfg=cfg, train=train, requires_skip=False, rng=rj, quant=quant,
+            )
+            new_up.append(s_blk)
+        new_up = list(reversed(new_up))
+
+        hm, head_s = _apply_head(p["head"], s["head"], y, train=train, quant=quant)
+
+        new_f = {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up),
+                 "intermedia": f_inter}
+        ys = {
+            "state": {"hg": {"down": new_down, "neck": s_neck, "up": new_up},
+                      "inter": inter_s, "head": head_s},
+            "head_out": hm,
+        }
+        return (y, new_f), ys
+
+    def wrapped(carry, xs):
+        return body(carry, xs)
+
+    if train and cfg.remat == "block":
+        wrapped = jax.checkpoint(body)
+
+    (y, carry_fifos), ys = jax.lax.scan(
+        wrapped, (y, carry_fifos), (xs_params, xs_state, xs_rng)
+    )
+    fifos = {
+        "down": [list(f) for f in carry_fifos["down"]],
+        "neck": list(carry_fifos["neck"]),
+        "up": [list(f) for f in carry_fifos["up"]],
+        "intermedia": list(carry_fifos["intermedia"]),
+    }
+    return y, fifos, ys["head_out"], ys["state"]
+
+
+def _unstack_scan_states(state, stacked, scan_range, cfg, anchors):
+    """Write the scanned slots' BN-state updates back into the list-of-slot
+    state pytree. Head states only update at anchored slots (the reference
+    never runs non-anchored heads)."""
+    new_state = {
+        "stem": state["stem"],
+        "hg": {
+            "down": list(state["hg"]["down"]),
+            "neck": dict(state["hg"]["neck"]),
+            "up": list(state["hg"]["up"]),
+        },
+        "intermedia": {"adapters": list(state["intermedia"]["adapters"])},
+        "heads": list(state["heads"]),
+    }
+    for j, i in enumerate(scan_range):
+        take = lambda t: jax.tree_util.tree_map(lambda x: x[j], t)
+        for b in range(cfg.num_blocks):
+            new_state["hg"]["down"][b] = {
+                k: _set_idx(new_state["hg"]["down"][b][k], i,
+                            take(stacked["hg"]["down"][b][k]))
+                for k in new_state["hg"]["down"][b]
+            }
+            new_state["hg"]["up"][b] = {
+                k: _set_idx(new_state["hg"]["up"][b][k], i,
+                            take(stacked["hg"]["up"][b][k]))
+                for k in new_state["hg"]["up"][b]
+            }
+        new_state["hg"]["neck"] = {
+            k: _set_idx(new_state["hg"]["neck"][k], i, take(stacked["hg"]["neck"][k]))
+            for k in new_state["hg"]["neck"]
+        }
+        new_state["intermedia"] = {
+            "adapters": _set_idx(new_state["intermedia"]["adapters"], i - 1,
+                                 take(stacked["inter"]))
+        }
+        if (i + 1) in anchors:
+            new_state["heads"] = _set_idx(new_state["heads"], i, take(stacked["head"]))
+    return new_state
+
+
+def _set_idx(lst, i, val):
+    out = list(lst)
+    out[i] = val
+    return out
+
+
 def apply_cu_net(
     params,
     state,
@@ -424,7 +614,12 @@ def apply_cu_net(
         )
         return y, hg_state, inter_state, fifos
 
-    for i in range(cfg.layer_num):
+    start = max(cfg.order, 1)
+    scan_range = list(range(start, cfg.layer_num))
+    use_scan = cfg.use_scan and len(scan_range) >= 2
+
+    unrolled_upto = start if use_scan else cfg.layer_num
+    for i in range(unrolled_upto):
         if train and cfg.remat == "block":
             y, hg_state, inter_state, fifos = jax.checkpoint(
                 block_apply, static_argnums=(1,)
@@ -440,9 +635,29 @@ def apply_cu_net(
             heads_state[i] = head_s
             outs.append(hm)
 
-    new_state["hg"] = hg_state
-    new_state["intermedia"] = inter_state
-    new_state["heads"] = heads_state
+    if use_scan:
+        # merge partially-updated states for the scan's source tree
+        mid_state = dict(new_state)
+        mid_state["hg"] = hg_state
+        mid_state["intermedia"] = inter_state
+        mid_state["heads"] = heads_state
+        y, fifos, head_outs, stacked_states = _apply_slots_scanned(
+            params, mid_state, y, fifos, scan_range,
+            cfg=cfg, train=train, rng=rng, quant=quant,
+        )
+        merged = _unstack_scan_states(mid_state, stacked_states, scan_range,
+                                      cfg, anchors)
+        new_state.update(
+            {k: merged[k] for k in ("hg", "intermedia", "heads")}
+        )
+        for j, i in enumerate(scan_range):
+            if (i + 1) in anchors:
+                outs.append(head_outs[j])
+    else:
+        new_state["hg"] = hg_state
+        new_state["intermedia"] = inter_state
+        new_state["heads"] = heads_state
+
     assert len(outs) == len(anchors)
     return outs, new_state
 

@@ -165,3 +165,41 @@ class TestDenseUNet:
             assert blk["layers"][i]["bottleneck"]["conv"].shape[2] == 16 + i * 8
         # single adapter over in + layer_num*growth (ref :95)
         assert blk["adapter_ahead"]["conv"].shape[2] == 16 + 3 * 8
+
+
+class TestScanEquivalence:
+    @pytest.mark.parametrize("layer_num,order,loss_num,train",
+                             [(4, 1, 4, False), (4, 1, 2, True), (4, 0, 2, False)])
+    def test_scan_matches_unrolled(self, layer_num, order, loss_num, train):
+        """lax.scan over steady-state slots must reproduce the unrolled loop
+        bit-for-bit (outputs AND BN-state updates)."""
+        cfg_s = ModelConfig(layer_num=layer_num, order=order, loss_num=loss_num,
+                            use_scan=True, **SMALL)
+        cfg_u = ModelConfig(layer_num=layer_num, order=order, loss_num=loss_num,
+                            use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_u)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        o_s, st_s = apply_cu_net(params, state, x, cfg=cfg_s, train=train)
+        o_u, st_u = apply_cu_net(params, state, x, cfg=cfg_u, train=train)
+        assert len(o_s) == len(o_u)
+        for a, b in zip(o_s, o_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(st_s), jax.tree_util.tree_leaves(st_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+    def test_scan_grads_match(self):
+        cfg_s = ModelConfig(layer_num=4, order=1, loss_num=2, use_scan=True, **SMALL)
+        cfg_u = ModelConfig(layer_num=4, order=1, loss_num=2, use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_u)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+
+        def loss(p, cfg):
+            outs, _ = apply_cu_net(p, state, x, cfg=cfg, train=True)
+            return sum(jnp.mean(o**2) for o in outs)
+
+        g_s = jax.grad(lambda p: loss(p, cfg_s))(params)
+        g_u = jax.grad(lambda p: loss(p, cfg_u))(params)
+        # scan changes the accumulation order of the backward pass; a few
+        # near-zero grads see ~1e-5 absolute noise
+        for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)

@@ -143,6 +143,104 @@ def fused_bottleneck_infer(
     return out.reshape(n, h, wd, cout)
 
 
+def _dual_kernel(n_feats, out_dtype, *refs):
+    """refs: x_0..x_{K-1}, inv_a, shift_a, inv_s, shift_s (each (1, Ctot)),
+    wa_0..wa_{K-1}, ws_0..ws_{K-1}, out_a, out_s, acc_a, acc_s."""
+    xs = refs[:n_feats]
+    inv_a, shift_a, inv_s, shift_s = refs[n_feats : n_feats + 4]
+    was = refs[n_feats + 4 : 2 * n_feats + 4]
+    wss = refs[2 * n_feats + 4 : 3 * n_feats + 4]
+    out_a, out_s, acc_a, acc_s = refs[3 * n_feats + 4 :]
+
+    acc_a[...] = jnp.zeros_like(acc_a)
+    acc_s[...] = jnp.zeros_like(acc_s)
+    off = 0
+    for k in range(n_feats):
+        ck = xs[k].shape[-1]
+        x = xs[k][...].astype(jnp.float32)  # read ONCE, feed both adapters
+        ya = jnp.maximum(x * inv_a[0, off : off + ck] + shift_a[0, off : off + ck], 0.0)
+        ys = jnp.maximum(x * inv_s[0, off : off + ck] + shift_s[0, off : off + ck], 0.0)
+        dn = (((1,), (0,)), ((), ()))
+        acc_a[...] += jax.lax.dot_general(
+            ya.astype(xs[k].dtype), was[k][...], dn, preferred_element_type=jnp.float32
+        )
+        acc_s[...] += jax.lax.dot_general(
+            ys.astype(xs[k].dtype), wss[k][...], dn, preferred_element_type=jnp.float32
+        )
+        off += ck
+    out_a[...] = acc_a[...].astype(out_dtype)
+    out_s[...] = acc_s[...].astype(out_dtype)
+
+
+def fused_dual_bottleneck_infer(
+    features: Sequence[jnp.ndarray],
+    inv_a, shift_a, w_a,
+    inv_s, shift_s, w_s,
+    *,
+    interpret: bool = False,
+):
+    """Two eval-mode bottlenecks over the SAME feature list in one kernel:
+    the ahead + skip adapter pair of a down block (ref:models/cu_net.py:139-142)
+    shares every input read and launches once — on a launch-overhead-bound
+    chip this halves the adapter cost outright.
+    """
+    n, h, wd, _ = features[0].shape
+    m = n * h * wd
+    cout = w_a.shape[3]
+    dtype = features[0].dtype
+    tm = _row_tile(m)
+    if tm == 0:
+        a = _lax_fallback(features, inv_a, shift_a, w_a)
+        s = _lax_fallback(features, inv_s, shift_s, w_s)
+        return a, s
+
+    n_feats = len(features)
+    xs2d = [f.reshape(m, f.shape[-1]) for f in features]
+    offs = np.cumsum([0] + [f.shape[-1] for f in features])
+    wa2d = [w_a[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(n_feats)]
+    ws2d = [w_s[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(n_feats)]
+    ctot = int(offs[-1])
+    vecs = [
+        inv_a.reshape(1, ctot).astype(jnp.float32),
+        shift_a.reshape(1, ctot).astype(jnp.float32),
+        inv_s.reshape(1, ctot).astype(jnp.float32),
+        shift_s.reshape(1, ctot).astype(jnp.float32),
+    ]
+
+    in_specs = (
+        [pl.BlockSpec((tm, x.shape[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+         for x in xs2d]
+        + [pl.BlockSpec((1, ctot), lambda i: (0, 0), memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+           for w in wa2d + ws2d]
+    )
+    out_a, out_s = pl.pallas_call(
+        functools.partial(_dual_kernel, n_feats, dtype),
+        grid=(m // tm,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((tm, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, cout), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, cout), dtype),
+            jax.ShapeDtypeStruct((m, cout), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tm, cout), jnp.float32),
+            pltpu.VMEM((tm, cout), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * ctot * cout,
+            bytes_accessed=sum(x.size * x.dtype.itemsize for x in xs2d)
+            + 2 * m * cout * jnp.dtype(dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*xs2d, *vecs, *wa2d, *ws2d)
+    return out_a.reshape(n, h, wd, cout), out_s.reshape(n, h, wd, cout)
+
+
 def _lax_fallback(features, inv, shift, w):
     n, h, wd, _ = features[0].shape
     cout = w.shape[3]

@@ -241,6 +241,26 @@ def _apply_dense_layer(
     return y, new_state
 
 
+
+
+def _apply_dual_adapters(p_a, s_a, p_s, s_s, feats, *, cfg, train):
+    """Ahead + skip adapters over the same feature list. In Pallas eval mode
+    both run in ONE fused kernel sharing input reads."""
+    if not train and cfg.use_pallas:
+        from cunet_tpu.kernels.fused_bottleneck import fused_dual_bottleneck_infer
+        from cunet_tpu.ops.layers import bn_inference_scale_shift
+
+        inv_a, sh_a = bn_inference_scale_shift(p_a["norm"], s_a["norm"])
+        inv_s, sh_s = bn_inference_scale_shift(p_s["norm"], s_s["norm"])
+        a, sk = fused_dual_bottleneck_infer(
+            list(feats), inv_a, sh_a, p_a["conv"], inv_s, sh_s, p_s["conv"]
+        )
+        return (a, sk), (s_a, s_s)
+    a, ns_a = _apply_bottleneck(p_a, s_a, feats, cfg=cfg, train=train)
+    sk, ns_s = _apply_bottleneck(p_s, s_s, feats, cfg=cfg, train=train)
+    return (a, sk), (ns_a, ns_s)
+
+
 def _fifo_push(fifo: List, out, i: int, order: int) -> List:
     """FIFO update rule of ref:models/cu_net.py:133-137."""
     if i < order:
@@ -275,16 +295,19 @@ def _apply_dense_block(
     )
     new_fifo = _fifo_push(fifo, out, i, cfg.order)
     x = x + [out]
+    if requires_skip:
+        (ahead, skip), (ahead_s, skip_s) = _apply_dual_adapters(
+            params["adapters_ahead"][i], state["adapters_ahead"][i],
+            params["adapters_skip"][i], state["adapters_skip"][i],
+            x, cfg=cfg, train=train,
+        )
+        patches = {"layers": {i: layer_s}, "adapters_ahead": {i: ahead_s},
+                   "adapters_skip": {i: skip_s}}
+        return (ahead, skip), new_fifo, patches
     ahead, ahead_s = _apply_bottleneck(
         params["adapters_ahead"][i], state["adapters_ahead"][i], x, cfg=cfg, train=train
     )
     patches = {"layers": {i: layer_s}, "adapters_ahead": {i: ahead_s}}
-    if requires_skip:
-        skip, skip_s = _apply_bottleneck(
-            params["adapters_skip"][i], state["adapters_skip"][i], x, cfg=cfg, train=train
-        )
-        patches["adapters_skip"] = {i: skip_s}
-        return (ahead, skip), new_fifo, patches
     return (ahead, None), new_fifo, patches
 
 
@@ -414,16 +437,18 @@ def _scan_block(p, s, feats, fifo, *, cfg, train, requires_skip, rng, quant):
     )
     new_fifo = tuple(fifo[1:]) + (out,) if cfg.order > 0 else fifo
     x = x + [out]
+    if requires_skip:
+        (ahead, skip), (ahead_s, skip_s) = _apply_dual_adapters(
+            p["adapters_ahead"], s["adapters_ahead"],
+            p["adapters_skip"], s["adapters_skip"], x, cfg=cfg, train=train,
+        )
+        new_s = {"layers": layer_s, "adapters_ahead": ahead_s,
+                 "adapters_skip": skip_s}
+        return (ahead, skip), new_fifo, new_s
     ahead, ahead_s = _apply_bottleneck(
         p["adapters_ahead"], s["adapters_ahead"], x, cfg=cfg, train=train
     )
     new_s = {"layers": layer_s, "adapters_ahead": ahead_s}
-    if requires_skip:
-        skip, skip_s = _apply_bottleneck(
-            p["adapters_skip"], s["adapters_skip"], x, cfg=cfg, train=train
-        )
-        new_s["adapters_skip"] = skip_s
-        return (ahead, skip), new_fifo, new_s
     return (ahead, None), new_fifo, new_s
 
 

@@ -84,9 +84,14 @@ class TestModelPallasDispatch:
         import cunet_tpu.kernels.fused_bottleneck as fb
 
         orig = fb.fused_bottleneck_infer
+        orig_dual = fb.fused_dual_bottleneck_infer
         monkeypatch.setattr(
             fb, "fused_bottleneck_infer",
             lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+        )
+        monkeypatch.setattr(
+            fb, "fused_dual_bottleneck_infer",
+            lambda *a, **k: orig_dual(*a, **{**k, "interpret": True}),
         )
         cfg_p = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=True, **SMALL)
         cfg_l = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=False, **SMALL)
@@ -97,3 +102,30 @@ class TestModelPallasDispatch:
         np.testing.assert_allclose(
             np.asarray(out_p[-1]), np.asarray(out_l[-1]), rtol=1e-4, atol=1e-4
         )
+
+
+class TestDualAdapterKernel:
+    def test_matches_two_singles(self):
+        from cunet_tpu.kernels.fused_bottleneck import fused_dual_bottleneck_infer
+        import jax.numpy as jnp
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 10)
+        feats = [
+            jax.random.normal(ks[0], (2, 8, 8, 16)),
+            jax.random.normal(ks[1], (2, 8, 8, 8)),
+        ]
+        ctot, cout = 24, 16
+        inv_a = jax.random.uniform(ks[2], (ctot,)) + 0.5
+        sh_a = jax.random.normal(ks[3], (ctot,)) * 0.1
+        w_a = jax.random.normal(ks[4], (1, 1, ctot, cout)) * 0.1
+        inv_s = jax.random.uniform(ks[5], (ctot,)) + 0.5
+        sh_s = jax.random.normal(ks[6], (ctot,)) * 0.1
+        w_s = jax.random.normal(ks[7], (1, 1, ctot, cout)) * 0.1
+
+        a, s = fused_dual_bottleneck_infer(
+            feats, inv_a, sh_a, w_a, inv_s, sh_s, w_s, interpret=True
+        )
+        ra = fused_bottleneck_infer(feats, inv_a, sh_a, w_a, interpret=True)
+        rs = fused_bottleneck_infer(feats, inv_s, sh_s, w_s, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ra), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=2e-5, atol=2e-5)

@@ -1,0 +1,269 @@
+"""Pallas mega-kernel: one launch per dense block (inference).
+
+Measured on this TPU stack, every kernel launch costs ~0.3 ms regardless of
+size, so CU-Net inference is launch-bound: the lax path emits ~5-10 kernels
+per dense block. This kernel computes the ENTIRE block in one launch, with
+every intermediate resident in VMEM:
+
+    [optional 2x nearest-upsample of the first feature (up blocks)]
+    bottleneck: sum_k relu(x_k * inv + shift) @ W_k      (1x1, concat-free)
+    norm2+ReLU: relu(y * inv2 + shift2)
+    3x3 conv:   sum_{dy,dx} shift(y)[dy,dx] @ W3[dy,dx]  (9 shifted matmuls)
+    adapters:   ahead (+ skip) bottlenecks over feats + [conv2 out]
+    [optional 2x2 maxpool of the ahead output (down blocks)]
+
+Grid is over the batch dimension: each program owns one image's full
+feature maps (max VMEM tenancy ~7 MB at h=64, c_tot=352). All BN affines
+are eval-mode folded scale/shift.
+
+This is the TPU-native realization of the reference's fused bottleneck
+runtime (ref:models/cu_net_prev_version.py:520-769) taken to its logical
+end: not just concat-free, but whole-block-fused.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shifted_matmul_3x3(y_hwc, w3, h, w, cin, cout):
+    """3x3 SAME conv via 9 shifted (h*w, cin) @ (cin, cout) matmuls."""
+    acc = jnp.zeros((h * w, cout), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            # input pixel (r+dy, c+dx) contributes via tap w3[dy+1, dx+1]
+            shifted = jnp.roll(y_hwc, shift=(-dy, -dx), axis=(0, 1))
+            rows = jnp.arange(h)[:, None, None]
+            cols = jnp.arange(w)[None, :, None]
+            valid_r = (rows + dy >= 0) & (rows + dy < h)
+            valid_c = (cols + dx >= 0) & (cols + dx < w)
+            shifted = jnp.where(valid_r & valid_c, shifted, 0.0)
+            acc = acc + jax.lax.dot_general(
+                shifted.reshape(h * w, cin).astype(y_hwc.dtype),
+                w3[dy + 1, dx + 1],
+                dn,
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _block_kernel(
+    meta,
+    *refs,
+):
+    """meta: dict of static config. refs layout (all VMEM):
+    x_0..x_{F-1},
+    vec_bneck (2, Cin_tot), w_bneck_0..w_bneck_{F-1},
+    vec2 (2, Cb), w3 (3, 3, Cb, G),
+    vec_a (2, Cad_tot), wa_0..wa_F,          [F+1 groups: feats + conv2-out]
+    [vec_s (2, Cad_tot), ws_0..ws_F,]        [if skip]
+    outs: ahead [, skip] [, layer_out]
+    """
+    F = meta["n_feats"]
+    h, w = meta["h"], meta["w"]
+    cb, g = meta["cb"], meta["g"]
+    cout = meta["cout"]
+    skip = meta["skip"]
+    upsample_first = meta["upsample_first"]
+    pool_ahead = meta["pool_ahead"]
+    emit_layer_out = meta["emit_layer_out"]
+    dtype = meta["dtype"]
+
+    idx = 0
+    x_refs = refs[idx : idx + F]; idx += F
+    vec_b = refs[idx]; idx += 1
+    wb = refs[idx : idx + F]; idx += F
+    vec2 = refs[idx]; idx += 1
+    w3 = refs[idx]; idx += 1
+    vec_a = refs[idx]; idx += 1
+    wa = refs[idx : idx + F + 1]; idx += F + 1
+    if skip:
+        vec_s = refs[idx]; idx += 1
+        ws = refs[idx : idx + F + 1]; idx += F + 1
+    out_refs = refs[idx:]
+
+    dn = (((1,), (0,)), ((), ()))
+
+    # load features (one image each), upsampling the first if requested
+    feats = []
+    for k in range(F):
+        xk = x_refs[k][0]  # (h_k, w_k, c_k)
+        if k == 0 and upsample_first:
+            hh, ww, cc = xk.shape
+            xk = jnp.broadcast_to(
+                xk[:, None, :, None, :], (hh, 2, ww, 2, cc)
+            ).reshape(hh * 2, ww * 2, cc)
+        feats.append(xk)
+
+    # ---- bottleneck 1x1 over virtual concat ----
+    m = h * w
+    acc = jnp.zeros((m, cb), jnp.float32)
+    off = 0
+    for k in range(F):
+        c_k = feats[k].shape[-1]
+        xk = feats[k].reshape(m, c_k).astype(jnp.float32)
+        yk = jnp.maximum(xk * vec_b[0, off : off + c_k] + vec_b[1, off : off + c_k], 0.0)
+        acc = acc + jax.lax.dot_general(
+            yk.astype(dtype), wb[k][...], dn, preferred_element_type=jnp.float32
+        )
+        off += c_k
+
+    # ---- norm2 + relu + 3x3 conv ----
+    y2 = jnp.maximum(acc * vec2[0, :] + vec2[1, :], 0.0).astype(dtype)
+    out32 = _shifted_matmul_3x3(y2.reshape(h, w, cb), w3[...], h, w, cb, g)
+    out32 = out32.astype(dtype)  # (m, g) flattened below
+    out32_flat = out32.reshape(m, g)
+
+    # ---- adapters over feats + [conv2 out] ----
+    def adapter(vec, w_list):
+        acc_a = jnp.zeros((m, cout), jnp.float32)
+        off = 0
+        for k in range(F):
+            c_k = feats[k].shape[-1]
+            xk = feats[k].reshape(m, c_k).astype(jnp.float32)
+            yk = jnp.maximum(xk * vec[0, off : off + c_k] + vec[1, off : off + c_k], 0.0)
+            acc_a = acc_a + jax.lax.dot_general(
+                yk.astype(dtype), w_list[k][...], dn,
+                preferred_element_type=jnp.float32,
+            )
+            off += c_k
+        ylast = jnp.maximum(
+            out32_flat.astype(jnp.float32) * vec[0, off : off + g]
+            + vec[1, off : off + g],
+            0.0,
+        )
+        return acc_a + jax.lax.dot_general(
+            ylast.astype(dtype), w_list[F][...], dn,
+            preferred_element_type=jnp.float32,
+        )
+
+    ahead = adapter(vec_a, wa).astype(dtype).reshape(h, w, cout)
+    o = 0
+    if pool_ahead:
+        pooled = jnp.max(
+            ahead.reshape(h // 2, 2, w // 2, 2, cout), axis=(1, 3)
+        )
+        out_refs[o][0] = pooled
+    else:
+        out_refs[o][0] = ahead
+    o += 1
+    if skip:
+        sk = adapter(vec_s, ws).astype(dtype).reshape(h, w, cout)
+        out_refs[o][0] = sk
+        o += 1
+    if emit_layer_out:
+        out_refs[o][0] = out32_flat.reshape(h, w, g)
+
+
+def fused_dense_block_infer(
+    features: Sequence[jnp.ndarray],
+    bneck_vec: jnp.ndarray,      # (2, Cin_tot): [inv; shift]
+    bneck_w: jnp.ndarray,        # (1, 1, Cin_tot, Cb)
+    vec2: jnp.ndarray,           # (2, Cb)
+    w3: jnp.ndarray,             # (3, 3, Cb, G)
+    ahead_vec: jnp.ndarray,      # (2, Cin_tot + G)
+    ahead_w: jnp.ndarray,        # (1, 1, Cin_tot + G, Cout)
+    skip_vec: Optional[jnp.ndarray] = None,
+    skip_w: Optional[jnp.ndarray] = None,
+    *,
+    upsample_first: bool = False,
+    pool_ahead: bool = False,
+    emit_layer_out: bool = True,
+    interpret: bool = False,
+):
+    """One-launch dense block (see module docstring).
+
+    ``features`` are NHWC; when ``upsample_first`` the first feature enters
+    at half resolution. Returns (ahead[, skip][, layer_out]): ahead is 2x2-
+    maxpooled when ``pool_ahead``.
+    """
+    f0 = features[0]
+    n = f0.shape[0]
+    h = f0.shape[1] * (2 if upsample_first else 1)
+    w = f0.shape[2] * (2 if upsample_first else 1)
+    dtype = f0.dtype
+    F = len(features)
+    cb = bneck_w.shape[3]
+    g = w3.shape[3]
+    cout = ahead_w.shape[3]
+    skip = skip_w is not None
+
+    cs = [f.shape[-1] for f in features]
+    offs = np.cumsum([0] + cs)
+    cin_tot = int(offs[-1])
+    assert bneck_w.shape[2] == cin_tot and ahead_w.shape[2] == cin_tot + g
+
+    wb = [bneck_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
+    wa = [ahead_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
+    wa.append(ahead_w[0, 0, cin_tot:, :].astype(dtype))
+    args: List = list(features)
+    args += [bneck_vec.astype(jnp.float32)] + wb
+    args += [vec2.astype(jnp.float32), w3.astype(dtype)]
+    args += [ahead_vec.astype(jnp.float32)] + wa
+    if skip:
+        ws = [skip_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
+        ws.append(skip_w[0, 0, cin_tot:, :].astype(dtype))
+        args += [skip_vec.astype(jnp.float32)] + ws
+
+    def xmap(k):
+        return pl.BlockSpec(
+            (1,) + features[k].shape[1:], lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [xmap(k) for k in range(F)]
+    in_specs += [full(args[F])] + [full(a) for a in wb]
+    in_specs += [full(args[2 * F + 1]), full(args[2 * F + 2])]
+    in_specs += [full(args[2 * F + 3])] + [full(a) for a in wa]
+    if skip:
+        in_specs += [full(args[3 * F + 5])] + [full(a) for a in ws]
+
+    ah_h, ah_w = (h // 2, w // 2) if pool_ahead else (h, w)
+    out_shapes = [jax.ShapeDtypeStruct((n, ah_h, ah_w, cout), dtype)]
+    out_specs = [
+        pl.BlockSpec((1, ah_h, ah_w, cout), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if skip:
+        out_shapes.append(jax.ShapeDtypeStruct((n, h, w, cout), dtype))
+        out_specs.append(
+            pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if emit_layer_out:
+        out_shapes.append(jax.ShapeDtypeStruct((n, h, w, g), dtype))
+        out_specs.append(
+            pl.BlockSpec((1, h, w, g), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    meta = dict(n_feats=F, h=h, w=w, cb=cb, g=g, cout=cout, skip=skip,
+                upsample_first=upsample_first, pool_ahead=pool_ahead,
+                emit_layer_out=emit_layer_out, dtype=dtype)
+    flops = 2 * h * w * n * (cin_tot * cb + 9 * cb * g + (cin_tot + g) * cout * (2 if skip else 1))
+    outs = pl.pallas_call(
+        functools.partial(_block_kernel, meta),
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=sum(f.size * f.dtype.itemsize for f in features),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs

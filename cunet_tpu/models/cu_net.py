@@ -452,6 +452,80 @@ def _scan_block(p, s, feats, fifo, *, cfg, train, requires_skip, rng, quant):
     return (ahead, None), new_fifo, new_s
 
 
+
+
+def _fold_bn_vec(bn_params, bn_state):
+    """Eval-mode BN -> stacked (2, C) [inv; shift] for the fused kernels."""
+    from cunet_tpu.ops.layers import bn_inference_scale_shift
+
+    inv, sh = bn_inference_scale_shift(bn_params, bn_state)
+    return jnp.stack([inv, sh])
+
+
+def _fused_block_slot(
+    p, s, feats, fifo, *, cfg, requires_skip, upsample_first, pool_ahead
+):
+    """Whole dense block in ONE Pallas launch (eval): bottleneck + 3x3 +
+    adapters, with the hourglass's pool/upsample folded in. Returns
+    (ahead[, skip], new_fifo)."""
+    from cunet_tpu.kernels.fused_block import fused_dense_block_infer
+
+    lp, ls = p["layers"], s["layers"]
+    emit = cfg.order > 0
+    args = dict(
+        upsample_first=upsample_first,
+        pool_ahead=pool_ahead,
+        emit_layer_out=emit,
+    )
+    common = (
+        list(feats) + list(fifo),
+        _fold_bn_vec(lp["bottleneck"]["norm"], ls["bottleneck"]["norm"]),
+        lp["bottleneck"]["conv"],
+        _fold_bn_vec(lp["norm2"], ls["norm2"]),
+        lp["conv2"],
+        _fold_bn_vec(p["adapters_ahead"]["norm"], s["adapters_ahead"]["norm"]),
+        p["adapters_ahead"]["conv"],
+    )
+    if requires_skip:
+        outs = fused_dense_block_infer(
+            *common,
+            _fold_bn_vec(p["adapters_skip"]["norm"], s["adapters_skip"]["norm"]),
+            p["adapters_skip"]["conv"],
+            **args,
+        )
+        ahead, skip = outs[0], outs[1]
+        layer_out = outs[2] if emit else None
+    else:
+        outs = fused_dense_block_infer(*common, **args)
+        ahead, skip = outs[0], None
+        layer_out = outs[1] if emit else None
+    new_fifo = tuple(fifo[1:]) + (layer_out,) if emit else fifo
+    return ahead, skip, new_fifo
+
+
+def _fused_hourglass_eval(p_hg, s_hg, y, f, *, cfg):
+    """Eval hourglass with one launch per block; pool/upsample folded into
+    the block kernels. Returns (y, new fifo dict parts)."""
+    f_down, f_up = list(f["down"]), list(f["up"])
+    skips = []
+    for j in range(cfg.num_blocks):
+        y, skip, f_down[j] = _fused_block_slot(
+            p_hg["down"][j], s_hg["down"][j], [y], f_down[j],
+            cfg=cfg, requires_skip=True, upsample_first=False, pool_ahead=True,
+        )
+        skips.append(skip)
+    y, _, f_neck = _fused_block_slot(
+        p_hg["neck"], s_hg["neck"], [y], f["neck"],
+        cfg=cfg, requires_skip=False, upsample_first=False, pool_ahead=False,
+    )
+    for j in reversed(range(cfg.num_blocks)):
+        y, _, f_up[j] = _fused_block_slot(
+            p_hg["up"][j], s_hg["up"][j], [y, skips[j]], f_up[j],
+            cfg=cfg, requires_skip=False, upsample_first=True, pool_ahead=False,
+        )
+    return y, {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up)}
+
+
 def _apply_slots_scanned(
     params, state, y, fifos, scan_range, *, cfg, train, rng, quant
 ):
@@ -488,6 +562,20 @@ def _apply_slots_scanned(
 
         # hourglass
         y = y2
+        if (not train) and cfg.use_pallas:
+            y, hgf = _fused_hourglass_eval(p["hg"], s["hg"], y, f, cfg=cfg)
+            new_f = {"down": hgf["down"], "neck": hgf["neck"], "up": hgf["up"],
+                     "intermedia": f_inter}
+            hm, head_s = _apply_head(p["head"], s["head"], y, train=train,
+                                     quant=quant)
+            ys = {
+                "state": {"hg": {"down": list(s["hg"]["down"]),
+                                 "neck": s["hg"]["neck"],
+                                 "up": list(s["hg"]["up"])},
+                          "inter": inter_s, "head": head_s},
+                "head_out": hm,
+            }
+            return (y, new_f), ys
         new_down, new_up = [], []
         f_down, f_up = list(f["down"]), list(f["up"])
         skips = []

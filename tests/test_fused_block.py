@@ -1,0 +1,131 @@
+"""Mega-kernel tests: whole dense block in one launch vs lax composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunet_tpu.kernels.fused_block import fused_dense_block_infer
+from cunet_tpu.kernels.fused_bottleneck import _lax_fallback
+from cunet_tpu.ops import conv2d, max_pool_2x2, relu, upsample_nearest_2x
+
+
+def _lax_block(feats, bv, bw, v2, w3, av, aw, sv=None, sw=None,
+               upsample_first=False, pool_ahead=False):
+    feats = list(feats)
+    if upsample_first:
+        feats[0] = upsample_nearest_2x(feats[0])
+    y1 = _lax_fallback(feats, bv[0], bv[1], bw)
+    y2 = relu(y1.astype(jnp.float32) * v2[0] + v2[1]).astype(y1.dtype)
+    out32 = conv2d(y2, w3, stride=1, padding=1)
+    x2 = feats + [out32]
+    ahead = _lax_fallback(x2, av[0], av[1], aw)
+    if pool_ahead:
+        ahead = max_pool_2x2(ahead)
+    res = [ahead]
+    if sw is not None:
+        res.append(_lax_fallback(x2, sv[0], sv[1], sw))
+    res.append(out32)
+    return res
+
+
+def _setup(h=8, n=2, cs=(16, 8), cb=16, g=8, cout=16, upsample_first=False):
+    ks = iter(jax.random.split(jax.random.PRNGKey(0), 20))
+    feats = []
+    for j, c in enumerate(cs):
+        hh = h // 2 if (upsample_first and j == 0) else h
+        feats.append(jax.random.normal(next(ks), (n, hh, hh, c)) * 0.5)
+    cin = sum(cs)
+    mk_vec = lambda c: jnp.stack([
+        jax.random.uniform(next(ks), (c,)) + 0.5,
+        jax.random.normal(next(ks), (c,)) * 0.1,
+    ])
+    bv = mk_vec(cin)
+    bw = jax.random.normal(next(ks), (1, 1, cin, cb)) * 0.2
+    v2 = mk_vec(cb)
+    w3 = jax.random.normal(next(ks), (3, 3, cb, g)) * 0.2
+    av = mk_vec(cin + g)
+    aw = jax.random.normal(next(ks), (1, 1, cin + g, cout)) * 0.2
+    sv = mk_vec(cin + g)
+    sw = jax.random.normal(next(ks), (1, 1, cin + g, cout)) * 0.2
+    return feats, bv, bw, v2, w3, av, aw, sv, sw
+
+
+class TestFusedBlock:
+    def test_down_block_with_skip_and_pool(self):
+        feats, bv, bw, v2, w3, av, aw, sv, sw = _setup()
+        got = fused_dense_block_infer(
+            feats, bv, bw, v2, w3, av, aw, sv, sw,
+            pool_ahead=True, emit_layer_out=True, interpret=True,
+        )
+        want = _lax_block(feats, bv, bw, v2, w3, av, aw, sv, sw, pool_ahead=True)
+        assert len(got) == 3
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-5)
+
+    def test_neck_block_plain(self):
+        feats, bv, bw, v2, w3, av, aw, _, _ = _setup(cs=(16,))
+        got = fused_dense_block_infer(
+            feats, bv, bw, v2, w3, av, aw, interpret=True,
+        )
+        want = _lax_block(feats, bv, bw, v2, w3, av, aw)
+        assert len(got) == 2  # ahead + layer_out
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-5)
+
+    def test_up_block_with_upsample(self):
+        feats, bv, bw, v2, w3, av, aw, _, _ = _setup(h=8, cs=(16, 8), upsample_first=True)
+        got = fused_dense_block_infer(
+            feats, bv, bw, v2, w3, av, aw,
+            upsample_first=True, interpret=True,
+        )
+        want = _lax_block(feats, bv, bw, v2, w3, av, aw, upsample_first=True)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-5, atol=3e-5)
+
+    def test_bf16(self):
+        feats, bv, bw, v2, w3, av, aw, sv, sw = _setup()
+        feats = [f.astype(jnp.bfloat16) for f in feats]
+        got = fused_dense_block_infer(
+            feats, bv, bw, v2, w3, av, aw, sv, sw, interpret=True,
+        )
+        want = _lax_block(feats, bv, bw, v2, w3, av, aw, sv, sw)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=3e-2, atol=3e-2,
+            )
+
+
+class TestFusedScanModel:
+    def test_k4_eval_pallas_matches_lax(self, monkeypatch):
+        """K=4 exercises the scanned fused-hourglass eval path."""
+        import cunet_tpu.kernels.fused_block as fblk
+        import cunet_tpu.kernels.fused_bottleneck as fb
+        from cunet_tpu.config import ModelConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+
+        for mod, name in [(fblk, "fused_dense_block_infer"),
+                          (fb, "fused_bottleneck_infer"),
+                          (fb, "fused_dual_bottleneck_infer")]:
+            orig = getattr(mod, name)
+            monkeypatch.setattr(mod, name,
+                                lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2)
+        cfg_p = ModelConfig(layer_num=4, order=1, loss_num=4, use_pallas=True,
+                            use_scan=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=1, loss_num=4, use_pallas=False,
+                            use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
+        assert len(out_p) == len(out_l) == 4
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

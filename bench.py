@@ -52,8 +52,9 @@ def main():
         loss_num=8,
         compute_dtype="bfloat16",
         remat="none",
+        use_pallas=True,   # whole-block mega-kernels (launch-bound stack)
     )
-    batch = 64
+    batch = 128
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
     def fwd(params, state, x):

@@ -34,21 +34,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shifted_matmul_3x3(y_hwc, w3, h, w, cin, cout):
-    """3x3 SAME conv via 9 shifted (h*w, cin) @ (cin, cout) matmuls."""
+    """3x3 SAME conv via 9 shifted (h*w, cin) @ (cin, cout) matmuls.
+
+    Zero-pad once, then each tap is a static slice — no rolls/masks (Mosaic
+    rejects the zero-size slices jnp.roll would lower to for shift 0).
+    """
+    ypad = jnp.pad(y_hwc, ((1, 1), (1, 1), (0, 0)))
     acc = jnp.zeros((h * w, cout), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            # input pixel (r+dy, c+dx) contributes via tap w3[dy+1, dx+1]
-            shifted = jnp.roll(y_hwc, shift=(-dy, -dx), axis=(0, 1))
-            rows = jnp.arange(h)[:, None, None]
-            cols = jnp.arange(w)[None, :, None]
-            valid_r = (rows + dy >= 0) & (rows + dy < h)
-            valid_c = (cols + dx >= 0) & (cols + dx < w)
-            shifted = jnp.where(valid_r & valid_c, shifted, 0.0)
+    for dy in range(3):
+        for dx in range(3):
+            tap = ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cin)
             acc = acc + jax.lax.dot_general(
-                shifted.reshape(h * w, cin).astype(y_hwc.dtype),
-                w3[dy + 1, dx + 1],
+                tap.astype(y_hwc.dtype),
+                w3[dy, dx],
                 dn,
                 preferred_element_type=jnp.float32,
             )
@@ -263,6 +262,10 @@ def fused_dense_block_infer(
             flops=flops,
             bytes_accessed=sum(f.size * f.dtype.itemsize for f in features),
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the h=64 block's working set peaks ~17-25 MB; v5e has 128 MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

@@ -74,6 +74,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: str = "bottleneck"        # none | bottleneck | layer | block
     use_pallas: bool = False         # dispatch fused Pallas kernels where available
+    pallas_hourglass: bool = True    # whole-slot giga-kernel (vs per-block kernels)
     use_scan: bool = True            # lax.scan over steady-state U-Net slots
 
     def __post_init__(self):

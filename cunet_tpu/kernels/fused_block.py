@@ -67,16 +67,22 @@ def _block_kernel(
     outs: ahead [, skip] [, layer_out]
     """
     F = meta["n_feats"]
+    P = meta["n_pre"]          # pre-bottleneck (intermedia) feature count, 0 = off
     h, w = meta["h"], meta["w"]
     cb, g = meta["cb"], meta["g"]
     cout = meta["cout"]
     skip = meta["skip"]
+    head = meta["head"]
     upsample_first = meta["upsample_first"]
     pool_ahead = meta["pool_ahead"]
     emit_layer_out = meta["emit_layer_out"]
     dtype = meta["dtype"]
 
     idx = 0
+    pre_refs = refs[idx : idx + P]; idx += P
+    if P:
+        vec_p = refs[idx]; idx += 1
+        wp = refs[idx : idx + P]; idx += P
     x_refs = refs[idx : idx + F]; idx += F
     vec_b = refs[idx]; idx += 1
     wb = refs[idx : idx + F]; idx += F
@@ -87,13 +93,37 @@ def _block_kernel(
     if skip:
         vec_s = refs[idx]; idx += 1
         ws = refs[idx : idx + F + 1]; idx += F + 1
+    if head:
+        vec_h = refs[idx]; idx += 1
+        wh = refs[idx]; idx += 1
     out_refs = refs[idx:]
 
     dn = (((1,), (0,)), ((), ()))
+    m = h * w
+
+    # ---- optional pre-bottleneck (the intermedia adapter fused in) ----
+    pre_out = None
+    if P:
+        acc_p = jnp.zeros((m, meta["c_pre_out"]), jnp.float32)
+        off = 0
+        for k in range(P):
+            c_k = pre_refs[k].shape[-1]
+            xk = pre_refs[k][0].reshape(m, c_k).astype(jnp.float32)
+            yk = jnp.maximum(
+                xk * vec_p[0, off : off + c_k] + vec_p[1, off : off + c_k], 0.0
+            )
+            acc_p = acc_p + jax.lax.dot_general(
+                yk.astype(dtype), wp[k][...], dn, preferred_element_type=jnp.float32
+            )
+            off += c_k
+        pre_out = acc_p.astype(dtype).reshape(h, w, meta["c_pre_out"])
 
     # load features (one image each), upsampling the first if requested
     feats = []
     for k in range(F):
+        if k == 0 and pre_out is not None:
+            feats.append(pre_out)
+            continue
         xk = x_refs[k][0]  # (h_k, w_k, c_k)
         if k == 0 and upsample_first:
             hh, ww, cc = xk.shape
@@ -103,7 +133,6 @@ def _block_kernel(
         feats.append(xk)
 
     # ---- bottleneck 1x1 over virtual concat ----
-    m = h * w
     acc = jnp.zeros((m, cb), jnp.float32)
     off = 0
     for k in range(F):
@@ -160,6 +189,19 @@ def _block_kernel(
         o += 1
     if emit_layer_out:
         out_refs[o][0] = out32_flat.reshape(h, w, g)
+        o += 1
+    if head:
+        zh = jnp.maximum(
+            ahead.reshape(m, cout).astype(jnp.float32) * vec_h[0, :] + vec_h[1, :],
+            0.0,
+        )
+        hm = jax.lax.dot_general(
+            zh.astype(dtype), wh[...], dn, preferred_element_type=jnp.float32
+        )
+        out_refs[o][0] = hm.astype(dtype).reshape(h, w, meta["c_head"])
+        o += 1
+    if P and meta["emit_pre_out"]:
+        out_refs[o][0] = pre_out
 
 
 def fused_dense_block_infer(
@@ -173,6 +215,12 @@ def fused_dense_block_infer(
     skip_vec: Optional[jnp.ndarray] = None,
     skip_w: Optional[jnp.ndarray] = None,
     *,
+    pre_features: Optional[Sequence[jnp.ndarray]] = None,
+    pre_vec: Optional[jnp.ndarray] = None,
+    pre_w: Optional[jnp.ndarray] = None,
+    emit_pre_out: bool = True,
+    head_vec: Optional[jnp.ndarray] = None,
+    head_w: Optional[jnp.ndarray] = None,
     upsample_first: bool = False,
     pool_ahead: bool = False,
     emit_layer_out: bool = True,
@@ -180,8 +228,16 @@ def fused_dense_block_infer(
 ):
     """One-launch dense block (see module docstring).
 
+    Optional fused stages:
+    - ``pre_*``: a 1x1 bottleneck over ``pre_features`` whose output becomes
+      feature 0 (the intermedia adapter fused into the first down block);
+      ``features[0]`` is then only a shape donor for feature 0's slot.
+    - ``head_*``: BN->ReLU->1x1 head on the ahead output (an anchored slot's
+      head fused into its last up block).
+
     ``features`` are NHWC; when ``upsample_first`` the first feature enters
-    at half resolution. Returns (ahead[, skip][, layer_out]): ahead is 2x2-
+    at half resolution. Returns
+    (ahead[, skip][, layer_out][, head_out][, pre_out]); ahead is 2x2-
     maxpooled when ``pool_ahead``.
     """
     f0 = features[0]
@@ -194,6 +250,10 @@ def fused_dense_block_infer(
     g = w3.shape[3]
     cout = ahead_w.shape[3]
     skip = skip_w is not None
+    head = head_w is not None
+    pre = pre_w is not None
+    P = len(pre_features) if pre else 0
+    assert not (pre and upsample_first), "pre-stage excludes upsample_first"
 
     cs = [f.shape[-1] for f in features]
     offs = np.cumsum([0] + cs)
@@ -203,52 +263,71 @@ def fused_dense_block_infer(
     wb = [bneck_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
     wa = [ahead_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
     wa.append(ahead_w[0, 0, cin_tot:, :].astype(dtype))
-    args: List = list(features)
-    args += [bneck_vec.astype(jnp.float32)] + wb
-    args += [vec2.astype(jnp.float32), w3.astype(dtype)]
-    args += [ahead_vec.astype(jnp.float32)] + wa
-    if skip:
-        ws = [skip_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
-        ws.append(skip_w[0, 0, cin_tot:, :].astype(dtype))
-        args += [skip_vec.astype(jnp.float32)] + ws
 
-    def xmap(k):
-        return pl.BlockSpec(
-            (1,) + features[k].shape[1:], lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    def xmap_shape(shape4):
+        return pl.BlockSpec((1,) + tuple(shape4[1:]), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [xmap(k) for k in range(F)]
-    in_specs += [full(args[F])] + [full(a) for a in wb]
-    in_specs += [full(args[2 * F + 1]), full(args[2 * F + 2])]
-    in_specs += [full(args[2 * F + 3])] + [full(a) for a in wa]
+    args: List = []
+    in_specs: List = []
+    c_pre_out = 0
+    if pre:
+        pcs = [f.shape[-1] for f in pre_features]
+        poffs = np.cumsum([0] + pcs)
+        c_pre_out = pre_w.shape[3]
+        wp = [pre_w[0, 0, poffs[k] : poffs[k + 1], :].astype(dtype)
+              for k in range(P)]
+        args += list(pre_features)
+        in_specs += [xmap_shape(f.shape) for f in pre_features]
+        args += [pre_vec.astype(jnp.float32)] + wp
+        in_specs += [full(args[len(in_specs)])] + [full(a) for a in wp]
+    # feature 0 is replaced by the pre-stage output in-kernel; ship a dummy
+    feat_args = list(features)
+    if pre:
+        feat_args[0] = jnp.zeros((n, 1, 1, 1), dtype)
+    args += feat_args
+    in_specs += [xmap_shape(f.shape) for f in feat_args]
+    args += [bneck_vec.astype(jnp.float32)] + wb
+    in_specs += [full(bneck_vec)] + [full(a) for a in wb]
+    args += [vec2.astype(jnp.float32), w3.astype(dtype)]
+    in_specs += [full(vec2), full(w3)]
+    args += [ahead_vec.astype(jnp.float32)] + wa
+    in_specs += [full(ahead_vec)] + [full(a) for a in wa]
     if skip:
-        in_specs += [full(args[3 * F + 5])] + [full(a) for a in ws]
+        ws = [skip_w[0, 0, offs[k] : offs[k + 1], :].astype(dtype) for k in range(F)]
+        ws.append(skip_w[0, 0, cin_tot:, :].astype(dtype))
+        args += [skip_vec.astype(jnp.float32)] + ws
+        in_specs += [full(args[len(in_specs)])] + [full(a) for a in ws]
+    if head:
+        wh = head_w[0, 0].astype(dtype)
+        args += [head_vec.astype(jnp.float32), wh]
+        in_specs += [full(args[len(in_specs)]), full(wh)]
 
     ah_h, ah_w = (h // 2, w // 2) if pool_ahead else (h, w)
     out_shapes = [jax.ShapeDtypeStruct((n, ah_h, ah_w, cout), dtype)]
-    out_specs = [
-        pl.BlockSpec((1, ah_h, ah_w, cout), lambda i: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-    ]
+    out_specs = [xmap_shape((n, ah_h, ah_w, cout))]
     if skip:
         out_shapes.append(jax.ShapeDtypeStruct((n, h, w, cout), dtype))
-        out_specs.append(
-            pl.BlockSpec((1, h, w, cout), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        out_specs.append(xmap_shape((n, h, w, cout)))
     if emit_layer_out:
         out_shapes.append(jax.ShapeDtypeStruct((n, h, w, g), dtype))
-        out_specs.append(
-            pl.BlockSpec((1, h, w, g), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
+        out_specs.append(xmap_shape((n, h, w, g)))
+    if head:
+        c_head = head_w.shape[3]
+        out_shapes.append(jax.ShapeDtypeStruct((n, h, w, c_head), dtype))
+        out_specs.append(xmap_shape((n, h, w, c_head)))
+    if pre and emit_pre_out:
+        out_shapes.append(jax.ShapeDtypeStruct((n, h, w, c_pre_out), dtype))
+        out_specs.append(xmap_shape((n, h, w, c_pre_out)))
 
-    meta = dict(n_feats=F, h=h, w=w, cb=cb, g=g, cout=cout, skip=skip,
+    meta = dict(n_feats=F, n_pre=P, c_pre_out=c_pre_out,
+                emit_pre_out=emit_pre_out,
+                c_head=(head_w.shape[3] if head else 0),
+                head=head, h=h, w=w, cb=cb, g=g, cout=cout, skip=skip,
                 upsample_first=upsample_first, pool_ahead=pool_ahead,
                 emit_layer_out=emit_layer_out, dtype=dtype)
     flops = 2 * h * w * n * (cin_tot * cb + 9 * cb * g + (cin_tot + g) * cout * (2 if skip else 1))

@@ -1,0 +1,269 @@
+"""Pallas giga-kernel: one launch per U-Net slot (inference).
+
+The whole hourglass of a coupled-U-Net slot — intermedia adapter, 4 down
+blocks (with 2x2 pools), neck, 4 up blocks (with 2x upsamples), and the
+head — runs as ONE Pallas program per image. Feature maps never leave VMEM
+between blocks; channel concats are VMEM copies (cheap), so each 1x1 stage
+is a single full-width MXU matmul. On this launch-overhead-bound stack this
+replaces ~9-11 launches per slot with 1.
+
+Weight layout per block: vec_b (2, Cin), w_b (Cin, Cb), vec2 (2, Cb),
+w3 (3, 3, Cb, G), vec_a (2, Cin+G), w_a (Cin+G, Cout) [, vec_s, w_s].
+All BN affines are eval-folded [inv; shift] rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3x3(y2, w3, h, w):
+    cb = y2.shape[-1]
+    cout = w3.shape[-1]
+    ypad = jnp.pad(y2.reshape(h, w, cb), ((1, 1), (1, 1), (0, 0)))
+    acc = jnp.zeros((h * w, cout), jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    for dy in range(3):
+        for dx in range(3):
+            tap = ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cb)
+            acc = acc + jax.lax.dot_general(
+                tap.astype(y2.dtype), w3[dy, dx], dn,
+                preferred_element_type=jnp.float32,
+            )
+    return acc
+
+
+def _bottleneck_val(x_cat, vec, w, dtype):
+    """relu(x*inv + shift) @ w on a concatenated (m, Cin) value."""
+    y = jnp.maximum(x_cat.astype(jnp.float32) * vec[0, :] + vec[1, :], 0.0)
+    return jax.lax.dot_general(
+        y.astype(dtype), w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _block_stage(x_cat, wset, h, w, dtype):
+    """One dense block on VMEM values. wset: dict of loaded weight arrays.
+    Returns (ahead, skip_or_None, layer_out) as (m, C) fp32/bf16 values."""
+    m = h * w
+    yb = _bottleneck_val(x_cat, wset["vec_b"], wset["w_b"], dtype)
+    y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :], 0.0).astype(dtype)
+    out32 = _conv3x3(y2, wset["w3"], h, w).astype(dtype)
+    x2 = jnp.concatenate([x_cat, out32], axis=-1)
+    ahead = _bottleneck_val(x2, wset["vec_a"], wset["w_a"], dtype).astype(dtype)
+    skip = None
+    if "w_s" in wset:
+        skip = _bottleneck_val(x2, wset["vec_s"], wset["w_s"], dtype).astype(dtype)
+    return ahead, skip, out32
+
+
+def _maxpool2(x, h, w):
+    c = x.shape[-1]
+    return jnp.max(x.reshape(h // 2, 2, w // 2, 2, c), axis=(1, 3)).reshape(
+        (h // 2) * (w // 2), c
+    )
+
+
+def _upsample2(x, h, w):
+    c = x.shape[-1]
+    x = x.reshape(h, w, c)
+    x = jnp.broadcast_to(x[:, None, :, None, :], (h, 2, w, 2, c))
+    return x.reshape((2 * h) * (2 * w), c)
+
+
+def _hg_kernel(meta, *refs):
+    nb = meta["num_blocks"]
+    order = meta["order"]
+    h0 = meta["h"]
+    dtype = meta["dtype"]
+    has_inter = meta["has_inter"]
+
+    it = iter(refs)
+    nxt = lambda: next(it)
+
+    y_ref = nxt()
+    y = y_ref[0]  # (h0, w0, c)
+    h = w = h0
+    m = h * w
+
+    # ---- intermedia pre-stage ----
+    if has_inter:
+        inter_fifo = [nxt()[0] for _ in range(order)]
+        vec_p, w_p = nxt(), nxt()
+        x_cat = jnp.concatenate([y.reshape(m, -1)] + [f.reshape(m, -1) for f in inter_fifo], axis=-1)
+        pre_out = _bottleneck_val(x_cat, vec_p, w_p[...], dtype).astype(dtype)
+        y = pre_out.reshape(h, w, -1)
+    else:
+        pre_out = None
+
+    def read_wset(skip):
+        wset = {"vec_b": nxt(), "w_b": nxt()[...], "vec2": nxt(),
+                "w3": nxt()[...], "vec_a": nxt(), "w_a": nxt()[...]}
+        if skip:
+            wset["vec_s"] = nxt()
+            wset["w_s"] = nxt()[...]
+        return wset
+
+    def read_fifo(hh):
+        return [nxt()[0].reshape(hh * hh, -1) for _ in range(order)]
+
+    # ---- down path ----
+    skips: List = []
+    layer_outs: List = []
+    for j in range(nb):
+        fifo = read_fifo(h)
+        wset = read_wset(skip=True)
+        x_cat = jnp.concatenate([y.reshape(m, -1)] + fifo, axis=-1)
+        ahead, skip, out32 = _block_stage(x_cat, wset, h, w, dtype)
+        layer_outs.append((out32, h))
+        skips.append((skip, h))
+        y = _maxpool2(ahead, h, w)
+        h, w = h // 2, w // 2
+        m = h * w
+        y = y.reshape(h, w, -1)
+
+    # ---- neck ----
+    fifo = read_fifo(h)
+    wset = read_wset(skip=False)
+    x_cat = jnp.concatenate([y.reshape(m, -1)] + fifo, axis=-1)
+    ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
+    layer_outs.append((out32, h))
+    y = ahead.reshape(h, w, -1)
+
+    # ---- up path ----
+    for j in reversed(range(nb)):
+        up = _upsample2(y, h, w)
+        h, w = h * 2, w * 2
+        m = h * w
+        fifo = read_fifo(h)
+        skip_val, _ = skips[j]
+        wset = read_wset(skip=False)
+        x_cat = jnp.concatenate([up, skip_val.reshape(m, -1)] + fifo, axis=-1)
+        ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
+        layer_outs.append((out32, h))
+        y = ahead.reshape(h, w, -1)
+
+    # ---- head ----
+    vec_h, w_h = nxt(), nxt()
+    hm = _bottleneck_val(y.reshape(m, -1), vec_h, w_h[...], dtype).astype(dtype)
+
+    # ---- outputs ----
+    out_y = nxt()
+    out_y[0] = y
+    out_hm = nxt()
+    out_hm[0] = hm.reshape(h, w, -1)
+    if has_inter and order > 0:
+        out_pre = nxt()
+        out_pre[0] = pre_out.reshape(h0, h0, -1)
+    if order > 0:
+        for out32, hh in layer_outs:
+            o = nxt()
+            o[0] = out32.reshape(hh, hh, -1)
+
+
+def fused_hourglass_infer(
+    y: jnp.ndarray,
+    inter_fifo: Sequence[jnp.ndarray],
+    inter_vec, inter_w,
+    block_fifos: Sequence[Sequence[jnp.ndarray]],   # down0..3, neck, up3..0 order
+    block_wsets: Sequence[Dict],                    # same order; dicts of arrays
+    head_vec, head_w,
+    *,
+    num_blocks: int = 4,
+    order: int = 1,
+    interpret: bool = False,
+):
+    """One-launch hourglass slot. ``block_fifos``/``block_wsets`` ordered:
+    down 0..nb-1, neck, up nb-1..0 (traversal order). Returns
+    (y_out, head_out[, pre_out][, layer_outs...]) with layer_outs in
+    traversal order."""
+    n = y.shape[0]
+    h0 = y.shape[1]
+    dtype = y.dtype
+    has_inter = inter_w is not None
+
+    def xspec(a):
+        return pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    args: List = [y]
+    specs: List = [xspec(y)]
+
+    def add(a, spec):
+        args.append(a)
+        specs.append(spec(a))
+
+    if has_inter:
+        for f in inter_fifo:
+            add(f, xspec)
+        add(inter_vec.astype(jnp.float32), full)
+        add(inter_w[0, 0].astype(dtype), full)
+
+    # traversal resolutions
+    res = []
+    hh = h0
+    for j in range(num_blocks):
+        res.append(hh)
+        hh //= 2
+    res.append(hh)          # neck
+    for j in range(num_blocks):
+        hh *= 2
+        res.append(hh)
+    for bi, (fifo, wset) in enumerate(zip(block_fifos, block_wsets)):
+        for f in fifo:
+            add(f, xspec)
+        add(wset["vec_b"].astype(jnp.float32), full)
+        add(wset["w_b"][0, 0].astype(dtype) if wset["w_b"].ndim == 4 else wset["w_b"].astype(dtype), full)
+        add(wset["vec2"].astype(jnp.float32), full)
+        add(wset["w3"].astype(dtype), full)
+        add(wset["vec_a"].astype(jnp.float32), full)
+        add(wset["w_a"][0, 0].astype(dtype) if wset["w_a"].ndim == 4 else wset["w_a"].astype(dtype), full)
+        if "w_s" in wset:
+            add(wset["vec_s"].astype(jnp.float32), full)
+            add(wset["w_s"][0, 0].astype(dtype) if wset["w_s"].ndim == 4 else wset["w_s"].astype(dtype), full)
+    add(head_vec.astype(jnp.float32), full)
+    add(head_w[0, 0].astype(dtype), full)
+
+    c = y.shape[-1]
+    c_head = head_w.shape[3]
+    g = block_wsets[0]["w3"].shape[3]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, h0, h0, c), dtype),
+        jax.ShapeDtypeStruct((n, h0, h0, c_head), dtype),
+    ]
+    if has_inter and order > 0:
+        out_shapes.append(jax.ShapeDtypeStruct((n, h0, h0, c), dtype))
+    if order > 0:
+        for hh in res:
+            out_shapes.append(jax.ShapeDtypeStruct((n, hh, hh, g), dtype))
+    def ospec(sh):
+        return pl.BlockSpec((1,) + tuple(sh.shape[1:]), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [ospec(sh) for sh in out_shapes]
+
+    meta = dict(num_blocks=num_blocks, order=order, h=h0, dtype=dtype,
+                has_inter=has_inter)
+    outs = pl.pallas_call(
+        functools.partial(_hg_kernel, meta),
+        grid=(n,),
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs

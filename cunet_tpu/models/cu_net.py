@@ -463,11 +463,14 @@ def _fold_bn_vec(bn_params, bn_state):
 
 
 def _fused_block_slot(
-    p, s, feats, fifo, *, cfg, requires_skip, upsample_first, pool_ahead
+    p, s, feats, fifo, *, cfg, requires_skip, upsample_first, pool_ahead,
+    pre=None, head=None,
 ):
     """Whole dense block in ONE Pallas launch (eval): bottleneck + 3x3 +
-    adapters, with the hourglass's pool/upsample folded in. Returns
-    (ahead[, skip], new_fifo)."""
+    adapters, with the hourglass's pool/upsample folded in. Optional fused
+    stages: ``pre`` = (pre_features, p_inter, s_inter) intermedia adapter
+    whose output becomes feature 0; ``head`` = (p_head, s_head). Returns
+    (ahead[, skip], new_fifo, extras) where extras may hold 'pre_out'/'head'."""
     from cunet_tpu.kernels.fused_block import fused_dense_block_infer
 
     lp, ls = p["layers"], s["layers"]
@@ -477,6 +480,20 @@ def _fused_block_slot(
         pool_ahead=pool_ahead,
         emit_layer_out=emit,
     )
+    if pre is not None:
+        pre_features, p_inter, s_inter = pre
+        args.update(
+            pre_features=list(pre_features),
+            pre_vec=_fold_bn_vec(p_inter["norm"], s_inter["norm"]),
+            pre_w=p_inter["conv"],
+            emit_pre_out=cfg.order > 0,
+        )
+    if head is not None:
+        p_head, s_head = head
+        args.update(
+            head_vec=_fold_bn_vec(p_head["norm"], s_head["norm"]),
+            head_w=p_head["conv"],
+        )
     common = (
         list(feats) + list(fifo),
         _fold_bn_vec(lp["bottleneck"]["norm"], ls["bottleneck"]["norm"]),
@@ -493,37 +510,125 @@ def _fused_block_slot(
             p["adapters_skip"]["conv"],
             **args,
         )
-        ahead, skip = outs[0], outs[1]
-        layer_out = outs[2] if emit else None
     else:
         outs = fused_dense_block_infer(*common, **args)
-        ahead, skip = outs[0], None
-        layer_out = outs[1] if emit else None
+    outs = list(outs)
+    ahead = outs.pop(0)
+    skip = outs.pop(0) if requires_skip else None
+    layer_out = outs.pop(0) if emit else None
+    extras = {}
+    if head is not None:
+        extras["head"] = outs.pop(0)
+    if pre is not None and cfg.order > 0:
+        extras["pre_out"] = outs.pop(0)
     new_fifo = tuple(fifo[1:]) + (layer_out,) if emit else fifo
-    return ahead, skip, new_fifo
+    return ahead, skip, new_fifo, extras
 
 
-def _fused_hourglass_eval(p_hg, s_hg, y, f, *, cfg):
-    """Eval hourglass with one launch per block; pool/upsample folded into
-    the block kernels. Returns (y, new fifo dict parts)."""
+
+
+def _hg_wset(bp, bs, skip):
+    d = {
+        "vec_b": _fold_bn_vec(bp["layers"]["bottleneck"]["norm"],
+                              bs["layers"]["bottleneck"]["norm"]),
+        "w_b": bp["layers"]["bottleneck"]["conv"],
+        "vec2": _fold_bn_vec(bp["layers"]["norm2"], bs["layers"]["norm2"]),
+        "w3": bp["layers"]["conv2"],
+        "vec_a": _fold_bn_vec(bp["adapters_ahead"]["norm"],
+                              bs["adapters_ahead"]["norm"]),
+        "w_a": bp["adapters_ahead"]["conv"],
+    }
+    if skip:
+        d["vec_s"] = _fold_bn_vec(bp["adapters_skip"]["norm"],
+                                  bs["adapters_skip"]["norm"])
+        d["w_s"] = bp["adapters_skip"]["conv"]
+    return d
+
+
+def _fused_slot_eval_hg(p, s, y, f, *, cfg):
+    """One Pallas launch for the ENTIRE slot (intermedia + hourglass + head);
+    see cunet_tpu.kernels.fused_hourglass. Returns (y, new_fifos, head_out)."""
+    from cunet_tpu.kernels.fused_hourglass import fused_hourglass_infer
+
+    nb = cfg.num_blocks
+    block_fifos = (
+        [list(f["down"][j]) for j in range(nb)]
+        + [list(f["neck"])]
+        + [list(f["up"][j]) for j in reversed(range(nb))]
+    )
+    block_wsets = (
+        [_hg_wset(p["hg"]["down"][j], s["hg"]["down"][j], True) for j in range(nb)]
+        + [_hg_wset(p["hg"]["neck"], s["hg"]["neck"], False)]
+        + [_hg_wset(p["hg"]["up"][j], s["hg"]["up"][j], False)
+           for j in reversed(range(nb))]
+    )
+    outs = fused_hourglass_infer(
+        y,
+        list(f["intermedia"]),
+        _fold_bn_vec(p["inter"]["norm"], s["inter"]["norm"]),
+        p["inter"]["conv"],
+        block_fifos,
+        block_wsets,
+        _fold_bn_vec(p["head"]["norm"], s["head"]["norm"]),
+        p["head"]["conv"],
+        num_blocks=nb,
+        order=cfg.order,
+    )
+    y_out, hm = outs[0], outs[1]
+    if cfg.order == 0:
+        return y_out, f, hm
+    pre_out = outs[2]
+    louts = outs[3:]
+    new_f = {
+        "intermedia": tuple(f["intermedia"][1:]) + (pre_out,),
+        "down": tuple(
+            tuple(f["down"][j][1:]) + (louts[j],) for j in range(nb)
+        ),
+        "neck": tuple(f["neck"][1:]) + (louts[nb],),
+    }
+    new_up = [None] * nb
+    for k, j in enumerate(reversed(range(nb))):
+        new_up[j] = tuple(f["up"][j][1:]) + (louts[nb + 1 + k],)
+    new_f["up"] = tuple(new_up)
+    return y_out, new_f, hm
+
+
+def _fused_slot_eval(p, s, y, f, *, cfg):
+    """One fully-fused eval slot: intermedia rides the first down block as a
+    pre-stage, the head rides the last up block as a post-stage; every block
+    is one launch with pool/upsample folded. Returns
+    (y, new_fifos_dict, head_out)."""
     f_down, f_up = list(f["down"]), list(f["up"])
     skips = []
+    inter_fifo = f["intermedia"]
     for j in range(cfg.num_blocks):
-        y, skip, f_down[j] = _fused_block_slot(
-            p_hg["down"][j], s_hg["down"][j], [y], f_down[j],
+        pre = ([y] + list(inter_fifo), p["inter"], s["inter"]) if j == 0 else None
+        y_in = [y]
+        y, skip, f_down[j], ex = _fused_block_slot(
+            p["hg"]["down"][j], s["hg"]["down"][j], y_in, f_down[j],
             cfg=cfg, requires_skip=True, upsample_first=False, pool_ahead=True,
+            pre=pre,
         )
+        if j == 0 and cfg.order > 0:
+            inter_fifo = tuple(inter_fifo[1:]) + (ex["pre_out"],)
         skips.append(skip)
-    y, _, f_neck = _fused_block_slot(
-        p_hg["neck"], s_hg["neck"], [y], f["neck"],
+    y, _, f_neck, _ = _fused_block_slot(
+        p["hg"]["neck"], s["hg"]["neck"], [y], f["neck"],
         cfg=cfg, requires_skip=False, upsample_first=False, pool_ahead=False,
     )
+    hm = None
     for j in reversed(range(cfg.num_blocks)):
-        y, _, f_up[j] = _fused_block_slot(
-            p_hg["up"][j], s_hg["up"][j], [y, skips[j]], f_up[j],
+        head = (p["head"], s["head"]) if j == 0 else None
+        y, _, f_up[j], ex = _fused_block_slot(
+            p["hg"]["up"][j], s["hg"]["up"][j], [y, skips[j]], f_up[j],
             cfg=cfg, requires_skip=False, upsample_first=True, pool_ahead=False,
+            head=head,
         )
-    return y, {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up)}
+        if j == 0:
+            hm = ex["head"]
+    new_f = {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up),
+             "intermedia": inter_fifo}
+    return y, new_f, hm
 
 
 def _apply_slots_scanned(
@@ -553,6 +658,22 @@ def _apply_slots_scanned(
         p, s, rk = xs
         r = rk if rng is not None else None
 
+        if (not train) and cfg.use_pallas:
+            # fully-fused slot: one launch for the whole hourglass when
+            # pallas_hourglass, else one launch per block
+            if cfg.pallas_hourglass:
+                y, new_f, hm = _fused_slot_eval_hg(p, s, y, f, cfg=cfg)
+            else:
+                y, new_f, hm = _fused_slot_eval(p, s, y, f, cfg=cfg)
+            ys = {
+                "state": {"hg": {"down": list(s["hg"]["down"]),
+                                 "neck": s["hg"]["neck"],
+                                 "up": list(s["hg"]["up"])},
+                          "inter": s["inter"], "head": s["head"]},
+                "head_out": hm,
+            }
+            return (y, new_f), ys
+
         # intermedia (steady state: i >= 1 and fifo full)
         feats = [y] + list(f["intermedia"])
         y2, inter_s = _apply_bottleneck(
@@ -562,20 +683,6 @@ def _apply_slots_scanned(
 
         # hourglass
         y = y2
-        if (not train) and cfg.use_pallas:
-            y, hgf = _fused_hourglass_eval(p["hg"], s["hg"], y, f, cfg=cfg)
-            new_f = {"down": hgf["down"], "neck": hgf["neck"], "up": hgf["up"],
-                     "intermedia": f_inter}
-            hm, head_s = _apply_head(p["head"], s["head"], y, train=train,
-                                     quant=quant)
-            ys = {
-                "state": {"hg": {"down": list(s["hg"]["down"]),
-                                 "neck": s["hg"]["neck"],
-                                 "up": list(s["hg"]["up"])},
-                          "inter": inter_s, "head": head_s},
-                "head_out": hm,
-            }
-            return (y, new_f), ys
         new_down, new_up = [], []
         f_down, f_up = list(f["down"]), list(f["up"])
         skips = []

@@ -101,16 +101,20 @@ class TestFusedBlock:
 
 
 class TestFusedScanModel:
-    def test_k4_eval_pallas_matches_lax(self, monkeypatch):
-        """K=4 exercises the scanned fused-hourglass eval path."""
+    @pytest.mark.parametrize("hourglass", [True, False])
+    def test_k4_eval_pallas_matches_lax(self, monkeypatch, hourglass):
+        """K=4 exercises the scanned fused eval paths (per-block kernels and
+        the whole-slot giga-kernel)."""
         import cunet_tpu.kernels.fused_block as fblk
         import cunet_tpu.kernels.fused_bottleneck as fb
+        import cunet_tpu.kernels.fused_hourglass as fhg
         from cunet_tpu.config import ModelConfig
         from cunet_tpu.models import apply_cu_net, init_cu_net
 
         for mod, name in [(fblk, "fused_dense_block_infer"),
                           (fb, "fused_bottleneck_infer"),
-                          (fb, "fused_dual_bottleneck_infer")]:
+                          (fb, "fused_dual_bottleneck_infer"),
+                          (fhg, "fused_hourglass_infer")]:
             orig = getattr(mod, name)
             monkeypatch.setattr(mod, name,
                                 lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
@@ -118,7 +122,7 @@ class TestFusedScanModel:
         SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
                      class_num=4, num_blocks=2)
         cfg_p = ModelConfig(layer_num=4, order=1, loss_num=4, use_pallas=True,
-                            use_scan=True, **SMALL)
+                            pallas_hourglass=hourglass, use_scan=True, **SMALL)
         cfg_l = ModelConfig(layer_num=4, order=1, loss_num=4, use_pallas=False,
                             use_scan=False, **SMALL)
         params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)

@@ -80,7 +80,8 @@ def _upsample2(x, h, w):
 
 def _hg_kernel(meta, *refs):
     nb = meta["num_blocks"]
-    order = meta["order"]
+    n_fifo = meta["n_fifo"]
+    emit = meta["emit_layer_out"]
     h0 = meta["h"]
     dtype = meta["dtype"]
     has_inter = meta["has_inter"]
@@ -95,7 +96,7 @@ def _hg_kernel(meta, *refs):
 
     # ---- intermedia pre-stage ----
     if has_inter:
-        inter_fifo = [nxt()[0] for _ in range(order)]
+        inter_fifo = [nxt()[0] for _ in range(n_fifo)]
         vec_p, w_p = nxt(), nxt()
         x_cat = jnp.concatenate([y.reshape(m, -1)] + [f.reshape(m, -1) for f in inter_fifo], axis=-1)
         pre_out = _bottleneck_val(x_cat, vec_p, w_p[...], dtype).astype(dtype)
@@ -112,7 +113,7 @@ def _hg_kernel(meta, *refs):
         return wset
 
     def read_fifo(hh):
-        return [nxt()[0].reshape(hh * hh, -1) for _ in range(order)]
+        return [nxt()[0].reshape(hh * hh, -1) for _ in range(n_fifo)]
 
     # ---- down path ----
     skips: List = []
@@ -159,10 +160,10 @@ def _hg_kernel(meta, *refs):
     out_y[0] = y
     out_hm = nxt()
     out_hm[0] = hm.reshape(h, w, -1)
-    if has_inter and order > 0:
+    if has_inter and emit:
         out_pre = nxt()
         out_pre[0] = pre_out.reshape(h0, h0, -1)
-    if order > 0:
+    if emit:
         for out32, hh in layer_outs:
             o = nxt()
             o[0] = out32.reshape(hh, hh, -1)
@@ -177,7 +178,8 @@ def fused_hourglass_infer(
     head_vec, head_w,
     *,
     num_blocks: int = 4,
-    order: int = 1,
+    n_fifo: int = 1,
+    emit_layer_out: bool = True,
     interpret: bool = False,
 ):
     """One-launch hourglass slot. ``block_fifos``/``block_wsets`` ordered:
@@ -242,9 +244,9 @@ def fused_hourglass_infer(
         jax.ShapeDtypeStruct((n, h0, h0, c), dtype),
         jax.ShapeDtypeStruct((n, h0, h0, c_head), dtype),
     ]
-    if has_inter and order > 0:
+    if has_inter and emit_layer_out:
         out_shapes.append(jax.ShapeDtypeStruct((n, h0, h0, c), dtype))
-    if order > 0:
+    if emit_layer_out:
         for hh in res:
             out_shapes.append(jax.ShapeDtypeStruct((n, hh, hh, g), dtype))
     def ospec(sh):
@@ -253,7 +255,8 @@ def fused_hourglass_infer(
 
     out_specs = [ospec(sh) for sh in out_shapes]
 
-    meta = dict(num_blocks=num_blocks, order=order, h=h0, dtype=dtype,
+    meta = dict(num_blocks=num_blocks, n_fifo=n_fifo,
+                emit_layer_out=emit_layer_out, h=h0, dtype=dtype,
                 has_inter=has_inter)
     outs = pl.pallas_call(
         functools.partial(_hg_kernel, meta),

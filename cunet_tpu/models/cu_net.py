@@ -545,12 +545,21 @@ def _hg_wset(bp, bs, skip):
     return d
 
 
-def _fused_slot_eval_hg(p, s, y, f, *, cfg):
+def _fused_slot_eval_hg(p, s, y, f, *, cfg, slot_i=None):
     """One Pallas launch for the ENTIRE slot (intermedia + hourglass + head);
-    see cunet_tpu.kernels.fused_hourglass. Returns (y, new_fifos, head_out)."""
+    see cunet_tpu.kernels.fused_hourglass. ``slot_i=None`` means steady state
+    (scan body: full FIFOs, pop+push); an explicit slot index handles the
+    unrolled prefix slots (i=0 has no intermedia; FIFOs append while
+    i < order). Returns (y, new_fifos, head_out)."""
     from cunet_tpu.kernels.fused_hourglass import fused_hourglass_infer
 
     nb = cfg.num_blocks
+    steady = slot_i is None
+    has_inter = steady or slot_i > 0
+    n_fifo = cfg.order if steady else min(slot_i, cfg.order)
+    emit = cfg.order > 0
+    grow = (not steady) and slot_i < cfg.order  # append vs pop+push
+
     block_fifos = (
         [list(f["down"][j]) for j in range(nb)]
         + [list(f["neck"])]
@@ -564,31 +573,41 @@ def _fused_slot_eval_hg(p, s, y, f, *, cfg):
     )
     outs = fused_hourglass_infer(
         y,
-        list(f["intermedia"]),
-        _fold_bn_vec(p["inter"]["norm"], s["inter"]["norm"]),
-        p["inter"]["conv"],
+        list(f["intermedia"]) if has_inter else [],
+        _fold_bn_vec(p["inter"]["norm"], s["inter"]["norm"]) if has_inter else None,
+        p["inter"]["conv"] if has_inter else None,
         block_fifos,
         block_wsets,
         _fold_bn_vec(p["head"]["norm"], s["head"]["norm"]),
         p["head"]["conv"],
         num_blocks=nb,
-        order=cfg.order,
+        n_fifo=n_fifo,
+        emit_layer_out=emit,
     )
     y_out, hm = outs[0], outs[1]
-    if cfg.order == 0:
+    if not emit:
         return y_out, f, hm
-    pre_out = outs[2]
-    louts = outs[3:]
+
+    def push(fifo, out):
+        return tuple(fifo) + (out,) if grow else tuple(fifo[1:]) + (out,)
+
+    k = 2
+    if has_inter:
+        pre_out = outs[k]; k += 1
+        new_inter = push(f["intermedia"], pre_out)
+    else:
+        # i == 0: intermedia is identity; the FIFO seeds with the stem
+        # output itself (ref:models/cu_net.py:169-171)
+        new_inter = tuple(f["intermedia"]) + (y,)
+    louts = outs[k:]
     new_f = {
-        "intermedia": tuple(f["intermedia"][1:]) + (pre_out,),
-        "down": tuple(
-            tuple(f["down"][j][1:]) + (louts[j],) for j in range(nb)
-        ),
-        "neck": tuple(f["neck"][1:]) + (louts[nb],),
+        "intermedia": new_inter,
+        "down": tuple(push(f["down"][j], louts[j]) for j in range(nb)),
+        "neck": push(f["neck"], louts[nb]),
     }
     new_up = [None] * nb
-    for k, j in enumerate(reversed(range(nb))):
-        new_up[j] = tuple(f["up"][j][1:]) + (louts[nb + 1 + k],)
+    for kk, j in enumerate(reversed(range(nb))):
+        new_up[j] = push(f["up"][j], louts[nb + 1 + kk])
     new_f["up"] = tuple(new_up)
     return y_out, new_f, hm
 
@@ -839,7 +858,17 @@ def apply_cu_net(
     use_scan = cfg.use_scan and len(scan_range) >= 2
 
     unrolled_upto = start if use_scan else cfg.layer_num
+    fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass
     for i in range(unrolled_upto):
+        if fused_eval:
+            slot_p = _slot_subtree(params, i, cfg)
+            slot_s = _slot_subtree(state, i, cfg)
+            y, fifos, hm = _fused_slot_eval_hg(
+                slot_p, slot_s, y, fifos, cfg=cfg, slot_i=i
+            )
+            if (i + 1) in anchors:
+                outs.append(hm)
+            continue
         if train and cfg.remat == "block":
             y, hg_state, inter_state, fifos = jax.checkpoint(
                 block_apply, static_argnums=(1,)

@@ -81,18 +81,21 @@ class TestFusedBottleneckKernel:
 class TestModelPallasDispatch:
     def test_eval_forward_matches(self, monkeypatch):
         """Full model in use_pallas mode (interpret) == lax mode."""
+        import cunet_tpu.kernels.fused_block as fblk
         import cunet_tpu.kernels.fused_bottleneck as fb
+        import cunet_tpu.kernels.fused_hourglass as fhg
 
-        orig = fb.fused_bottleneck_infer
-        orig_dual = fb.fused_dual_bottleneck_infer
-        monkeypatch.setattr(
-            fb, "fused_bottleneck_infer",
-            lambda *a, **k: orig(*a, **{**k, "interpret": True}),
-        )
-        monkeypatch.setattr(
-            fb, "fused_dual_bottleneck_infer",
-            lambda *a, **k: orig_dual(*a, **{**k, "interpret": True}),
-        )
+        for mod, name in [
+            (fb, "fused_bottleneck_infer"),
+            (fb, "fused_dual_bottleneck_infer"),
+            (fblk, "fused_dense_block_infer"),
+            (fhg, "fused_hourglass_infer"),
+        ]:
+            orig = getattr(mod, name)
+            monkeypatch.setattr(
+                mod, name,
+                lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}),
+            )
         cfg_p = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=True, **SMALL)
         cfg_l = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=False, **SMALL)
         params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)

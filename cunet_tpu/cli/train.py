@@ -92,7 +92,10 @@ def main(argv: Optional[list] = None) -> int:
         for k, v in sorted(vars(opt).items()):
             f.write(f"{k}: {v}\n")
         f.write("-------------- End ----------------\n")
-    run_training(opt, exp_dir)
+    if opt.is_train:
+        run_training(opt, exp_dir)
+    else:
+        run_eval(opt, exp_dir)
     return 0
 
 
@@ -239,6 +242,89 @@ def run_training(opt, exp_dir: str) -> dict:
                    "val_loss": val_loss, metric_key: val_metric}
     tsv.close()
     return metrics
+
+
+def run_eval(opt, exp_dir: str) -> dict:
+    """Validation-only mode (--is_train false): restore weights, run the full
+    val split with flip-test, print the per-part PCKh table (mpii) or NME
+    (face), save predictions .mat — the checkpoint-parity workflow."""
+    import jax
+    import numpy as np
+
+    from cunet_tpu.config import ModelConfig, QuantConfig
+    from cunet_tpu.data import (
+        DataLoader, FaceDataset, MPIIDataset, SyntheticLandmarkDataset,
+    )
+    from cunet_tpu.models import init_cu_net
+    from cunet_tpu.train.loop import validate_epoch
+    from cunet_tpu.train import create_train_state, make_optimizer
+    from cunet_tpu.config import TrainConfig
+    from cunet_tpu.utils import Checkpoint, ConsoleFileLogger, TrainHistory
+
+    task = "face" if opt.dataset == "face" else "mpii"
+    cfg = ModelConfig(
+        layer_num=opt.layer_num, order=opt.order, class_num=opt.class_num,
+        loss_num=opt.loss_num, neck_size=opt.neck_size,
+        growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
+        num_blocks=opt.num_blocks, compute_dtype=opt.compute_dtype,
+        remat="none",
+    )
+    qcfg = QuantConfig(bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
+                       enabled=opt.quantize)
+    log = ConsoleFileLogger(os.path.join(exp_dir, "log.txt"))
+
+    if opt.dataset == "synthetic":
+        val_set = SyntheticLandmarkDataset(
+            length=opt.synthetic_len, num_joints=opt.class_num, is_train=False,
+            inp_res=opt.inp_res, out_res=opt.out_res)
+    elif opt.dataset == "mpii":
+        jf = opt.json_file or os.path.join(opt.data_dir, "mpii-hr-lsp-normalizer.json")
+        val_set = MPIIDataset(jf, opt.img_folder or opt.data_dir, is_train=False,
+                              inp_res=opt.inp_res, out_res=opt.out_res)
+    else:
+        jf = opt.json_file or os.path.join(opt.data_dir, "face.json")
+        val_set = FaceDataset(jf, opt.img_folder or opt.data_dir, is_train=False,
+                              inp_res=opt.inp_res, out_res=opt.out_res)
+    val_loader = DataLoader(val_set, opt.bs, shuffle=False, drop_last=False)
+
+    params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
+    if opt.resume_prefix:
+        name = opt.resume_prefix.rstrip("-")
+        if name.endswith(".pth.tar") or name.endswith(".pth"):
+            # reference torch checkpoint: convert on the fly
+            from cunet_tpu.tools.convert_torch import (
+                load_torch_checkpoint, merge_into,
+            )
+
+            cparams, cstate, missing, _ = load_torch_checkpoint(
+                os.path.join(opt.data_dir, name)
+                if not os.path.isabs(name) else name, cfg)
+            for miss in missing:
+                log.print_log(f"=> not converted: {miss}")
+            params = merge_into(params, cparams)
+            bn = merge_into(bn, cstate)
+        else:
+            tx = make_optimizer(TrainConfig())
+            state = create_train_state(params, bn, tx)
+            ckpt = Checkpoint(exp_dir)
+            state, _ = ckpt.load(state, name, None)
+            params, bn = state.params, state.bn_state
+
+    val_loss, val_metric, preds = validate_epoch(
+        params, bn, val_loader, cfg=cfg,
+        quant=qcfg if qcfg.enabled else None,
+        flip_test=(task == "mpii"), task=task,
+        num_val=len(val_set), log=log,
+    )
+    metric_name = "NME" if task == "face" else "PCKh@0.5"
+    log.print_log(f"eval: loss {val_loss:.6f} {metric_name} {val_metric:.4f}")
+    if preds is not None:
+        import scipy.io
+
+        out = os.path.join(exp_dir, "eval-preds.mat")
+        scipy.io.savemat(out, mdict={"preds": np.asarray(preds)})
+        log.print_log(f"=> saved predictions to {out}")
+    return {"val_loss": val_loss, "val_metric": val_metric}
 
 
 if __name__ == "__main__":

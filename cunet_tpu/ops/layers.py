@@ -114,10 +114,14 @@ def conv2d(x, w, *, stride: int = 1, padding: int = 0):
 
 
 def max_pool_2x2(x):
-    """2x2/stride-2 max pool (ref:models/cu_net.py:249,303)."""
+    """2x2/stride-2 max pool (ref:models/cu_net.py:249,303).
+
+    Init must be -inf (not finfo.min): XLA only recognizes the reduce-window
+    as a differentiable max-pool with the identity element, and bf16 training
+    on TPU fails to linearize otherwise.
+    """
     return lax.reduce_window(
-        x, -jnp.inf if x.dtype == jnp.float32 else jnp.finfo(x.dtype).min,
-        lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
     )
 
 

@@ -51,3 +51,14 @@ class TestCli:
 
     def test_missing_exp_id(self, tmp_path, capsys):
         assert main(["--exp_dir", str(tmp_path)]) == 1
+
+    def test_eval_only_mode(self, tmp_path):
+        # train 1 epoch, then validate-only from the checkpoint
+        main(_args(tmp_path, epochs=1))
+        rc = main(_args(tmp_path, epochs=1, extra=[
+            "--is_train", "false", "--resume_prefix", "lr-0.00025-1"]))
+        assert rc == 0
+        exp = tmp_path / "t"
+        assert (exp / "eval-preds.mat").exists()
+        log = (exp / "log.txt").read_text()
+        assert "PCKh@0.5" in log

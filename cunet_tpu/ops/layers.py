@@ -101,16 +101,20 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x, w, *, stride: int = 1, padding: int = 0):
-    """2D convolution, NHWC/HWIO, fp32 accumulation on the MXU."""
-    out = lax.conv_general_dilated(
+    """2D convolution, NHWC/HWIO.
+
+    No ``preferred_element_type``: the TPU MXU accumulates bf16 convs in
+    fp32 internally anyway, and a f32-preferred output breaks the conv
+    transpose (backward) under bf16 in this JAX version (mixed-dtype
+    conv_general in the cotangent).
+    """
+    return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
 
 
 def max_pool_2x2(x):

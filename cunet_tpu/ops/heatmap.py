@@ -75,3 +75,36 @@ def render_heatmaps_np(pts, height: int, width: int, sigma: float = 1.0) -> np.n
         g[(xs < ulx) | (xs > brx) | np.broadcast_to((ys < uly) | (ys > bry), g.shape)] = 0
         out[:, :, i] = g
     return out
+
+
+def draw_labelmap_np(
+    img: np.ndarray, pt, sigma: float, kind: str = "gaussian"
+) -> np.ndarray:
+    """Standard-variance label map painter (ref:utils/imutils.py:68-101).
+
+    Unlike the main renderer this uses the conventional ``2*sigma**2``
+    denominator (or a Cauchy kernel) and pastes over an existing image.
+    Unused by the reference's main path but part of its API surface.
+    """
+    out = np.array(img, np.float32, copy=True)
+    hgt, wdt = out.shape[:2]
+    ul = [int(pt[0] - 3 * sigma), int(pt[1] - 3 * sigma)]
+    br = [int(pt[0] + 3 * sigma + 1), int(pt[1] + 3 * sigma + 1)]
+    if ul[0] >= wdt or ul[1] >= hgt or br[0] < 0 or br[1] < 0:
+        return out
+    size = 6 * int(sigma) + 1
+    x = np.arange(0, size, 1, float)
+    y = x[:, None]
+    x0 = y0 = size // 2
+    if kind == "gaussian":
+        g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma**2))
+    elif kind == "cauchy":
+        g = sigma / (((x - x0) ** 2 + (y - y0) ** 2 + sigma**2) ** 1.5)
+    else:
+        raise ValueError(f"unknown kernel kind: {kind}")
+    gx = max(0, -ul[0]), min(br[0], wdt) - ul[0]
+    gy = max(0, -ul[1]), min(br[1], hgt) - ul[1]
+    ix = max(0, ul[0]), min(br[0], wdt)
+    iy = max(0, ul[1]), min(br[1], hgt)
+    out[iy[0]:iy[1], ix[0]:ix[1]] = g[gy[0]:gy[1], gx[0]:gx[1]]
+    return out

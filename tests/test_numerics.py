@@ -201,3 +201,22 @@ class TestGeometry:
             flat = pairs.flatten()
             assert len(set(flat.tolist())) == len(flat)
             assert flat.max() < n
+
+
+class TestDrawLabelmap:
+    def test_normalized_gaussian_variant(self):
+        from cunet_tpu.ops.heatmap import draw_labelmap_np
+
+        img = np.zeros((32, 32), np.float32)
+        out = draw_labelmap_np(img, (10, 12), sigma=2)
+        assert out[12, 10] == 1.0
+        # conventional 2*sigma^2 denominator (unlike the main renderer)
+        assert np.isclose(out[12, 11], np.exp(-1 / 8))
+        # out-of-bounds point leaves the image untouched
+        np.testing.assert_array_equal(draw_labelmap_np(img, (100, 100), 2), img)
+
+    def test_cauchy_kernel(self):
+        from cunet_tpu.ops.heatmap import draw_labelmap_np
+
+        out = draw_labelmap_np(np.zeros((32, 32), np.float32), (10, 12), 2, "cauchy")
+        assert np.isclose(out[12, 10], 2 / (4**1.5))

@@ -5,6 +5,7 @@ from cunet_tpu.utils.guards import (
     find_nonfinite,
     guard_update,
 )
+from cunet_tpu.utils.params import count_conv_params, count_params, param_summary
 from cunet_tpu.utils.profiling import StepTimer, compiled_cost, roofline_fraction, trace
 from cunet_tpu.utils.history import AverageMeter, TrainHistory
 from cunet_tpu.utils.logger import ConsoleFileLogger, TsvLogger
@@ -22,6 +23,9 @@ __all__ = [
     "assert_finite",
     "check_finite",
     "compiled_cost",
+    "count_conv_params",
+    "count_params",
+    "param_summary",
     "find_nonfinite",
     "guard_update",
     "roofline_fraction",

@@ -166,3 +166,25 @@ class TestProfiling:
 
         cost = compiled_cost(lambda x: x @ x, jnp.ones((64, 64)))
         assert cost["flops"] > 0
+
+
+class TestParamCounts:
+    def test_coupling_parameter_saving(self):
+        """The order-K coupled model must be dramatically smaller than K
+        independently stacked dense U-Nets (ref README's ~70% claim)."""
+        from cunet_tpu.models import DenseUNetConfig, init_dense_unet
+        from cunet_tpu.utils import count_conv_params, count_params
+
+        small = dict(neck_size=2, growth_rate=8, init_chan_num=16, num_blocks=2)
+        K = 4
+        cu_cfg = ModelConfig(layer_num=K, order=1, loss_num=K, class_num=4, **small)
+        cu_p, _ = init_cu_net(jax.random.PRNGKey(0), cu_cfg)
+        du_cfg = DenseUNetConfig(layer_num=1, class_num=4, **small)
+        du_p, _ = init_dense_unet(jax.random.PRNGKey(0), du_cfg)
+
+        cu_total = count_params(cu_p)
+        stacked_total = K * count_params(du_p)
+        assert count_conv_params(cu_p) < cu_total
+        # CU-Net-K shares the stem and couples instead of duplicating whole
+        # nets; it must undercut K independent hourglasses substantially
+        assert cu_total < stacked_total

@@ -24,12 +24,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+import os
+
+_BF16_PROLOGUE = os.environ.get("CUNET_KERNEL_BF16_PROLOGUE", "0") == "1"
+_CONV3X3_ONEDOT = os.environ.get("CUNET_KERNEL_CONV3X3_ONEDOT", "0") == "1"
+
+
 def _conv3x3(y2, w3, h, w):
     cb = y2.shape[-1]
     cout = w3.shape[-1]
     ypad = jnp.pad(y2.reshape(h, w, cb), ((1, 1), (1, 1), (0, 0)))
-    acc = jnp.zeros((h * w, cout), jnp.float32)
     dn = (((1,), (0,)), ((), ()))
+    if _CONV3X3_ONEDOT:
+        taps = jnp.concatenate(
+            [ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cb)
+             for dy in range(3) for dx in range(3)], axis=-1,
+        )
+        w_flat = w3[...].reshape(9 * cb, cout)
+        return jax.lax.dot_general(
+            taps.astype(y2.dtype), w_flat, dn, preferred_element_type=jnp.float32
+        )
+    acc = jnp.zeros((h * w, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cb)
@@ -42,7 +57,13 @@ def _conv3x3(y2, w3, h, w):
 
 def _bottleneck_val(x_cat, vec, w, dtype):
     """relu(x*inv + shift) @ w on a concatenated (m, Cin) value."""
-    y = jnp.maximum(x_cat.astype(jnp.float32) * vec[0, :] + vec[1, :], 0.0)
+    if _BF16_PROLOGUE and dtype == jnp.bfloat16:
+        y = jnp.maximum(
+            x_cat.astype(dtype) * vec[0, :].astype(dtype)
+            + vec[1, :].astype(dtype), 0,
+        )
+    else:
+        y = jnp.maximum(x_cat.astype(jnp.float32) * vec[0, :] + vec[1, :], 0.0)
     return jax.lax.dot_general(
         y.astype(dtype), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

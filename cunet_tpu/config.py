@@ -75,6 +75,7 @@ class ModelConfig:
     remat: str = "bottleneck"        # none | bottleneck | layer | block
     use_pallas: bool = False         # dispatch fused Pallas kernels where available
     pallas_hourglass: bool = True    # whole-slot giga-kernel (vs per-block kernels)
+    pallas_whole_model: bool = False # single-launch full-forward tera-kernel
     use_scan: bool = True            # lax.scan over steady-state U-Net slots
 
     def __post_init__(self):

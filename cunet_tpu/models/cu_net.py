@@ -804,6 +804,47 @@ def _set_idx(lst, i, val):
     return out
 
 
+
+
+def _fused_model_eval(params, state, y_stem, *, cfg):
+    """Single-launch full forward (all K slots in one Pallas program);
+    see cunet_tpu.kernels.fused_model. Returns the anchored head list."""
+    from cunet_tpu.kernels.fused_model import fused_model_infer
+
+    nb = cfg.num_blocks
+    anchors = cfg.anchors
+    slot_args = []
+    for i in range(cfg.layer_num):
+        p = _slot_subtree(params, i, cfg)
+        s = _slot_subtree(state, i, cfg)
+        blocks = (
+            [_hg_wset(p["hg"]["down"][j], s["hg"]["down"][j], True)
+             for j in range(nb)]
+            + [_hg_wset(p["hg"]["neck"], s["hg"]["neck"], False)]
+            + [_hg_wset(p["hg"]["up"][j], s["hg"]["up"][j], False)
+               for j in reversed(range(nb))]
+        )
+        inter = None
+        if i > 0:
+            inter = (
+                _fold_bn_vec(p["inter"]["norm"], s["inter"]["norm"]),
+                p["inter"]["conv"],
+            )
+        head = None
+        if (i + 1) in anchors:
+            head = (
+                _fold_bn_vec(p["head"]["norm"], s["head"]["norm"]),
+                p["head"]["conv"],
+            )
+        slot_args.append({"inter": inter, "blocks": blocks, "head": head})
+    outs = fused_model_infer(
+        y_stem, slot_args,
+        num_blocks=nb, layer_num=cfg.layer_num, order=cfg.order,
+        anchors=anchors, class_num=cfg.class_num,
+    )
+    return list(outs)
+
+
 def apply_cu_net(
     params,
     state,
@@ -833,6 +874,14 @@ def apply_cu_net(
     y = relu(y)
     y = max_pool_2x2(y)
     new_state["stem"] = {"norm": stem_ns}
+
+    if (not train) and cfg.use_pallas and cfg.pallas_whole_model:
+        outs = _fused_model_eval(params, state, y, cfg=cfg)
+        new_state["hg"] = state["hg"]
+        new_state["intermedia"] = state["intermedia"]
+        new_state["heads"] = state["heads"]
+        assert len(outs) == len(cfg.anchors)
+        return outs, new_state
 
     fifos = empty_fifos(cfg)
     hg_state = state["hg"]

@@ -219,3 +219,276 @@ def fused_model_infer(
         interpret=interpret,
     )(*args)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# loop variant: fori_loop over stacked steady-state slot weights
+# ---------------------------------------------------------------------------
+#
+# The unrolled kernel above Mosaic-compiles every slot body (~11 min for
+# K=8). Steady-state slots (i >= order) share shapes, so their weights stack
+# on a leading axis and ONE loop body serves them all: compile time drops to
+# roughly (order+1) slot bodies. Heads are computed for every slot into one
+# stacked output; anchor selection happens outside.
+
+
+def _read_wset_vals(nxt, skip):
+    """Load one block's weights fully (for the unrolled prefix slots)."""
+    w = {"vec_b": nxt()[...], "w_b": nxt()[...], "vec2": nxt()[...],
+         "w3": nxt()[...], "vec_a": nxt()[...], "w_a": nxt()[...]}
+    if skip:
+        w["vec_s"] = nxt()[...]
+        w["w_s"] = nxt()[...]
+    return w
+
+
+def _model_loop_kernel(meta, *refs):  # noqa: C901
+    nb = meta["num_blocks"]
+    K = meta["layer_num"]
+    order = meta["order"]
+    start = meta["start"]              # = max(order, 1); slots < start unrolled
+    h0 = meta["h"]
+    dtype = meta["dtype"]
+
+    it = iter(refs)
+    nxt = lambda: next(it)
+
+    y = nxt()[0]
+
+    f_down = [[] for _ in range(nb)]
+    f_neck: list = []
+    f_up = [[] for _ in range(nb)]
+    f_inter: list = []
+
+    def push(fifo, val, i):
+        if i < order:
+            fifo.append(val)
+        elif fifo:
+            fifo.pop(0)
+            fifo.append(val)
+
+    def run_slot(y, i, get_wset, get_inter, get_head, fifo_state):
+        f_down, f_neck, f_up, f_inter = fifo_state
+        h = w = h0
+        m = h * w
+        if i == 0:
+            if order > 0:
+                f_inter = f_inter + [y]
+        else:
+            vec_p, w_p = get_inter()
+            x_cat = jnp.concatenate(
+                [y.reshape(m, -1)] + [f.reshape(m, -1) for f in f_inter], axis=-1
+            )
+            y = _bottleneck_val(x_cat, vec_p, w_p, dtype).astype(dtype).reshape(h, w, -1)
+            f_inter = _push_l(f_inter, y, i, order)
+        skips = []
+        nf_down = list(f_down)
+        for j in range(nb):
+            wset = get_wset(j, True)
+            x_cat = jnp.concatenate(
+                [y.reshape(m, -1)] + [f.reshape(m, -1) for f in nf_down[j]], axis=-1
+            )
+            ahead, skip, out32 = _block_stage(x_cat, wset, h, w, dtype)
+            nf_down[j] = _push_l(nf_down[j], out32.reshape(h, w, -1), i, order)
+            skips.append(skip)
+            y = _maxpool2(ahead, h, w).reshape(h // 2, w // 2, -1)
+            h, w = h // 2, w // 2
+            m = h * w
+        wset = get_wset(nb, False)
+        x_cat = jnp.concatenate(
+            [y.reshape(m, -1)] + [f.reshape(m, -1) for f in f_neck], axis=-1
+        )
+        ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
+        nf_neck = _push_l(f_neck, out32.reshape(h, w, -1), i, order)
+        y = ahead.reshape(h, w, -1)
+        nf_up = list(f_up)
+        for idx, j in enumerate(reversed(range(nb))):
+            up = _upsample2(y, h, w)
+            h, w = h * 2, w * 2
+            m = h * w
+            wset = get_wset(nb + 1 + idx, False)
+            x_cat = jnp.concatenate(
+                [up, skips[j].reshape(m, -1)] + [f.reshape(m, -1) for f in nf_up[j]],
+                axis=-1,
+            )
+            ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
+            nf_up[j] = _push_l(nf_up[j], out32.reshape(h, w, -1), i, order)
+            y = ahead.reshape(h, w, -1)
+        vec_h, w_h = get_head()
+        hm = _bottleneck_val(y.reshape(m, -1), vec_h, w_h, dtype).astype(dtype)
+        return y, hm.reshape(h, w, -1), (nf_down, nf_neck, nf_up, f_inter)
+
+    # ---- unrolled prefix slots: per-slot refs ----
+    prefix_heads = []
+    for i in range(start):
+        inter_vals = None
+        if i > 0:
+            inter_vals = (nxt()[...], nxt()[...])
+        wsets = [_read_wset_vals(nxt, j < nb) for j in range(2 * nb + 1)]
+        head_vals = (nxt()[...], nxt()[...])
+        y, hm, (f_down, f_neck, f_up, f_inter) = run_slot(
+            y, i,
+            get_wset=lambda pos, skip, w=wsets: w[pos],
+            get_inter=lambda v=inter_vals: v,
+            get_head=lambda v=head_vals: v,
+            fifo_state=(f_down, f_neck, f_up, f_inter),
+        )
+        prefix_heads.append(hm)
+
+    # ---- steady-state slots: stacked refs + fori_loop ----
+    S = K - start
+    if S > 0:
+        inter_stack = (nxt(), nxt())
+        block_stacks = []
+        for pos in range(2 * nb + 1):
+            skip = pos < nb
+            st = {"vec_b": nxt(), "w_b": nxt(), "vec2": nxt(),
+                  "w3": nxt(), "vec_a": nxt(), "w_a": nxt()}
+            if skip:
+                st["vec_s"] = nxt()
+                st["w_s"] = nxt()
+            block_stacks.append(st)
+        head_stack = (nxt(), nxt())
+
+    out_ref = nxt()  # (1, K, h0, h0, class)
+    for i, hm in enumerate(prefix_heads):
+        out_ref[0, i] = hm
+
+    if S > 0:
+        carry0 = (
+            y,
+            tuple(tuple(f) for f in f_down),
+            tuple(f_neck),
+            tuple(tuple(f) for f in f_up),
+            tuple(f_inter),
+        )
+
+        def body(r, carry):
+            y, cd, cn, cu, ci = carry
+            fifo_state = ([list(f) for f in cd], list(cn),
+                          [list(f) for f in cu], list(ci))
+            y, hm, (nd, nn, nu, ni) = run_slot(
+                y, max(order, 1),  # steady state: pop+push, intermedia active
+                get_wset=lambda pos, skip, r=r: {
+                    k: v[r] for k, v in block_stacks[pos].items()
+                },
+                get_inter=lambda r=r: (inter_stack[0][r], inter_stack[1][r]),
+                get_head=lambda r=r: (head_stack[0][r], head_stack[1][r]),
+                fifo_state=fifo_state,
+            )
+            out_ref[0, start + r] = hm
+            return (y, tuple(tuple(f) for f in nd), tuple(nn),
+                    tuple(tuple(f) for f in nu), tuple(ni))
+
+        jax.lax.fori_loop(0, S, body, carry0)
+
+
+def _push_l(fifo, val, i, order):
+    if i < order:
+        return fifo + [val]
+    if fifo:
+        return fifo[1:] + [val]
+    return fifo
+
+
+def fused_model_loop_infer(
+    y_stem: jnp.ndarray,
+    slot_args: Sequence[Dict],
+    *,
+    num_blocks: int,
+    layer_num: int,
+    order: int,
+    class_num: int,
+    interpret: bool = False,
+):
+    """Loop-variant one-launch full forward: steady-state slots run under an
+    in-kernel fori_loop over stacked weights (compile time ~ (order+1) slot
+    bodies instead of K). Heads are computed for EVERY slot; returns a single
+    stacked array (N, K, h0, h0, class_num) — select anchors outside.
+
+    Requires ``slot_args[i]["head"]`` for all slots (params always carry all
+    K heads).
+    """
+    n, h0 = y_stem.shape[0], y_stem.shape[1]
+    dtype = y_stem.dtype
+    start = max(order, 1)
+    S = layer_num - start
+
+    def xspec(a):
+        return pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    args: List = [y_stem]
+    specs: List = [xspec(y_stem)]
+
+    def add(a):
+        args.append(a)
+        specs.append(full(a))
+
+    def conv2d_mat(w):
+        return w[0, 0].astype(dtype) if w.ndim == 4 else w.astype(dtype)
+
+    def add_wset(wset):
+        add(wset["vec_b"].astype(jnp.float32))
+        add(conv2d_mat(wset["w_b"]))
+        add(wset["vec2"].astype(jnp.float32))
+        add(wset["w3"].astype(dtype))
+        add(wset["vec_a"].astype(jnp.float32))
+        add(conv2d_mat(wset["w_a"]))
+        if "w_s" in wset:
+            add(wset["vec_s"].astype(jnp.float32))
+            add(conv2d_mat(wset["w_s"]))
+
+    # unrolled prefix slots
+    for i in range(start):
+        sa = slot_args[i]
+        if i > 0:
+            vec, w = sa["inter"]
+            add(vec.astype(jnp.float32))
+            add(conv2d_mat(w))
+        for wset in sa["blocks"]:
+            add_wset(wset)
+        vec, w = sa["head"]
+        add(vec.astype(jnp.float32))
+        add(conv2d_mat(w))
+
+    # stacked steady-state refs
+    if S > 0:
+        steady = slot_args[start:]
+        add(jnp.stack([sa["inter"][0] for sa in steady]).astype(jnp.float32))
+        add(jnp.stack([conv2d_mat(sa["inter"][1]) for sa in steady]))
+        for pos in range(2 * num_blocks + 1):
+            keys = ["vec_b", "w_b", "vec2", "w3", "vec_a", "w_a"]
+            if pos < num_blocks:
+                keys += ["vec_s", "w_s"]
+            for k in keys:
+                if k.startswith("vec"):
+                    add(jnp.stack([sa["blocks"][pos][k] for sa in steady]).astype(jnp.float32))
+                elif k == "w3":
+                    add(jnp.stack([sa["blocks"][pos][k] for sa in steady]).astype(dtype))
+                else:
+                    add(jnp.stack([conv2d_mat(sa["blocks"][pos][k]) for sa in steady]))
+        add(jnp.stack([sa["head"][0] for sa in steady]).astype(jnp.float32))
+        add(jnp.stack([conv2d_mat(sa["head"][1]) for sa in steady]))
+
+    out_shape = jax.ShapeDtypeStruct((n, layer_num, h0, h0, class_num), dtype)
+    out_spec = pl.BlockSpec((1, layer_num, h0, h0, class_num),
+                            lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    meta = dict(num_blocks=num_blocks, layer_num=layer_num, order=order,
+                start=start, h=h0, dtype=dtype)
+    return pl.pallas_call(
+        functools.partial(_model_loop_kernel, meta),
+        grid=(n,),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)

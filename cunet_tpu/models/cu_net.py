@@ -830,19 +830,20 @@ def _fused_model_eval(params, state, y_stem, *, cfg):
                 _fold_bn_vec(p["inter"]["norm"], s["inter"]["norm"]),
                 p["inter"]["conv"],
             )
-        head = None
-        if (i + 1) in anchors:
-            head = (
-                _fold_bn_vec(p["head"]["norm"], s["head"]["norm"]),
-                p["head"]["conv"],
-            )
+        # the loop variant computes heads for every slot (params carry all K)
+        head = (
+            _fold_bn_vec(p["head"]["norm"], s["head"]["norm"]),
+            p["head"]["conv"],
+        )
         slot_args.append({"inter": inter, "blocks": blocks, "head": head})
-    outs = fused_model_infer(
+    from cunet_tpu.kernels.fused_model import fused_model_loop_infer
+
+    stacked = fused_model_loop_infer(
         y_stem, slot_args,
         num_blocks=nb, layer_num=cfg.layer_num, order=cfg.order,
-        anchors=anchors, class_num=cfg.class_num,
+        class_num=cfg.class_num,
     )
-    return list(outs)
+    return [stacked[:, a - 1] for a in anchors]
 
 
 def apply_cu_net(

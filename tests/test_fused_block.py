@@ -136,25 +136,28 @@ class TestFusedScanModel:
 
 
 class TestFusedWholeModel:
-    def test_tera_kernel_matches_lax(self, monkeypatch):
+    @pytest.mark.parametrize("order,loss", [(1, 2), (2, 5), (0, 2)])
+    def test_tera_kernel_matches_lax(self, monkeypatch, order, loss):
         import cunet_tpu.kernels.fused_model as fm
         from cunet_tpu.config import ModelConfig
         from cunet_tpu.models import apply_cu_net, init_cu_net
 
-        orig = fm.fused_model_infer
-        monkeypatch.setattr(fm, "fused_model_infer",
-                            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        for name in ["fused_model_infer", "fused_model_loop_infer"]:
+            orig = getattr(fm, name)
+            monkeypatch.setattr(fm, name,
+                                lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
         SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
                      class_num=4, num_blocks=2)
-        cfg_p = ModelConfig(layer_num=4, order=1, loss_num=2, use_pallas=True,
-                            pallas_whole_model=True, **SMALL)
-        cfg_l = ModelConfig(layer_num=4, order=1, loss_num=2, use_pallas=False,
-                            use_scan=False, **SMALL)
+        K = 5 if loss == 5 else 4
+        cfg_p = ModelConfig(layer_num=K, order=order, loss_num=loss,
+                            use_pallas=True, pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=K, order=order, loss_num=loss,
+                            use_pallas=False, use_scan=False, **SMALL)
         params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
         x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
         out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
         out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
-        assert len(out_p) == len(out_l) == 2
+        assert len(out_p) == len(out_l) == loss
         for a, b in zip(out_p, out_l):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)

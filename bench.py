@@ -78,9 +78,10 @@ def main():
         loss_num=8,
         compute_dtype="bfloat16",
         remat="none",
-        use_pallas=True,   # whole-block mega-kernels (launch-bound stack)
+        use_pallas=True,
+        pallas_whole_model=True,  # single-launch forward (loop tera-kernel)
     )
-    batch = 128
+    batch = 256
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
     def fwd(params, state, x):

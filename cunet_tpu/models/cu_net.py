@@ -677,7 +677,7 @@ def _apply_slots_scanned(
         p, s, rk = xs
         r = rk if rng is not None else None
 
-        if (not train) and cfg.use_pallas:
+        if (not train) and cfg.use_pallas and quant is None:
             # fully-fused slot: one launch for the whole hourglass when
             # pallas_hourglass, else one launch per block
             if cfg.pallas_hourglass:
@@ -876,7 +876,7 @@ def apply_cu_net(
     y = max_pool_2x2(y)
     new_state["stem"] = {"norm": stem_ns}
 
-    if (not train) and cfg.use_pallas and cfg.pallas_whole_model:
+    if (not train) and cfg.use_pallas and cfg.pallas_whole_model and quant is None:
         outs = _fused_model_eval(params, state, y, cfg=cfg)
         new_state["hg"] = state["hg"]
         new_state["intermedia"] = state["intermedia"]
@@ -908,7 +908,10 @@ def apply_cu_net(
     use_scan = cfg.use_scan and len(scan_range) >= 2
 
     unrolled_upto = start if use_scan else cfg.layer_num
-    fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass
+    # fused eval kernels fold BN but not the activation quantizers: they
+    # must not engage for quantized evaluation
+    fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
+        and quant is None
     for i in range(unrolled_upto):
         if fused_eval:
             slot_p = _slot_subtree(params, i, cfg)

@@ -184,3 +184,30 @@ class TestQuantTrainStep:
         w = np.asarray(qp["hg"]["down"][0]["layers"][0]["conv2"])
         scales = np.unique(np.abs(w[np.abs(w) > 0]).round(6))
         assert scales.size <= 2  # one |scale| per output filter (2 filters... <=2)
+
+
+class TestQuantPallasGuard:
+    def test_quant_eval_ignores_fused_block_kernels(self, monkeypatch):
+        """Quantized eval must bypass the block/slot fused kernels (they skip
+        the activation quantizers) and still match the lax path exactly."""
+        import cunet_tpu.kernels.fused_bottleneck as fb
+
+        for name in ["fused_bottleneck_infer", "fused_dual_bottleneck_infer"]:
+            orig = getattr(fb, name)
+            monkeypatch.setattr(fb, name,
+                                lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+        from cunet_tpu.train.quant_step import quant_eval_params
+
+        cfg_p = ModelConfig(layer_num=4, order=1, loss_num=2, use_pallas=True,
+                            pallas_hourglass=True, pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=1, loss_num=2, use_pallas=False, **SMALL)
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        qp = quant_eval_params(params, qcfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        out_p, _ = apply_cu_net(qp, state, x, cfg=cfg_p, train=False, quant=qcfg)
+        out_l, _ = apply_cu_net(qp, state, x, cfg=cfg_l, train=False, quant=qcfg)
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)

@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", type=str, default="bottleneck",
                    choices=["none", "bottleneck", "layer", "block"])
+    p.add_argument("--use_pallas", type=str2bool, default=False,
+                   help="fused Pallas kernels on the eval path (TPU only)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--sp", type=int, default=1, help="spatial-partition size")
@@ -136,6 +138,7 @@ def run_training(opt, exp_dir: str) -> dict:
         num_blocks=opt.num_blocks,
         compute_dtype=opt.compute_dtype,
         remat=opt.remat,
+        use_pallas=opt.use_pallas,
     )
     qcfg = QuantConfig(
         bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g, enabled=opt.quantize
@@ -267,7 +270,7 @@ def run_eval(opt, exp_dir: str) -> dict:
         loss_num=opt.loss_num, neck_size=opt.neck_size,
         growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
         num_blocks=opt.num_blocks, compute_dtype=opt.compute_dtype,
-        remat="none",
+        remat="none", use_pallas=opt.use_pallas,
     )
     qcfg = QuantConfig(bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
                        enabled=opt.quantize)

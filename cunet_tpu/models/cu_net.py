@@ -40,6 +40,7 @@ from cunet_tpu.ops import (
     dense_bottleneck,
     dense_bottleneck_infer_pallas,
     dense_bottleneck_remat,
+    dense_bottleneck_train_pallas,
     init_bn,
     init_bn_state,
     init_conv,
@@ -198,7 +199,11 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
     p = {"norm": params["norm"], "conv": params["conv"]}
     s = state["norm"]
-    if train and cfg.remat == "bottleneck":
+    if train and cfg.use_pallas:
+        # fused train kernel: O(1) residuals, recompute backward (subsumes
+        # the remat=bottleneck policy)
+        out, new_s = dense_bottleneck_train_pallas(list(feats), p, s)
+    elif train and cfg.remat == "bottleneck":
         out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train)
     elif not train and cfg.use_pallas:
         out, new_s = dense_bottleneck_infer_pallas(list(feats), p, s)

@@ -15,6 +15,7 @@ from cunet_tpu.ops.bottleneck import (
     dense_bottleneck,
     dense_bottleneck_infer_pallas,
     dense_bottleneck_remat,
+    dense_bottleneck_train_pallas,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "conv2d",
     "dense_bottleneck",
     "dense_bottleneck_infer_pallas",
+    "dense_bottleneck_train_pallas",
     "dense_bottleneck_remat",
     "init_bn",
     "init_bn_state",

@@ -115,6 +115,32 @@ def dense_bottleneck_infer_pallas(features, params, state, *, interpret=False):
     return out, state
 
 
+def dense_bottleneck_train_pallas(
+    features, params, state, *, eps: float = BN_EPS, momentum: float = BN_MOMENTUM
+):
+    """Train-mode dispatch to the fused Pallas kernel with custom VJP
+    (cunet_tpu.kernels.train_bottleneck): O(1) saved activations, recompute
+    backward — the kernel-level realization of the reference's
+    _EfficientDensenetBottleneckFn. Returns (out, new_running_state)."""
+    from cunet_tpu.kernels.train_bottleneck import _row_tile, fused_train_bottleneck
+
+    n, h, wd, _ = features[0].shape
+    if _row_tile(n * h * wd) == 0:
+        return dense_bottleneck(features, params, state, train=True,
+                                eps=eps, momentum=momentum)
+    out, mean, var = fused_train_bottleneck(
+        tuple(features), params["norm"]["scale"], params["norm"]["bias"],
+        params["conv"], eps,
+    )
+    cnt = n * h * wd
+    unbiased = var * (cnt / max(cnt - 1, 1))
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * mean,
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+    }
+    return out, new_state
+
+
 def dense_bottleneck_remat(features, params, state, *, train, **kw):
     """``dense_bottleneck`` under ``jax.checkpoint``: nothing between the
     inputs and the 1x1-conv output is saved for backward — the BN/ReLU

@@ -17,8 +17,6 @@ int32 accumulation on the MXU and an fp32 VPU epilogue, tiled over rows.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,8 +22,6 @@ constant index_map and are zero-initialized at program 0.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

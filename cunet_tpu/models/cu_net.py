@@ -814,8 +814,6 @@ def _set_idx(lst, i, val):
 def _fused_model_eval(params, state, y_stem, *, cfg):
     """Single-launch full forward (all K slots in one Pallas program);
     see cunet_tpu.kernels.fused_model. Returns the anchored head list."""
-    from cunet_tpu.kernels.fused_model import fused_model_infer
-
     nb = cfg.num_blocks
     anchors = cfg.anchors
     slot_args = []

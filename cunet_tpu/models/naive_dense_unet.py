@@ -16,7 +16,6 @@ from typing import Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from cunet_tpu.config import ModelConfig
 from cunet_tpu.models.cu_net import _apply_bottleneck, _init_bottleneck
 from cunet_tpu.ops import (
     batch_norm,

@@ -19,7 +19,7 @@ function recomputes identical batch statistics by construction).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

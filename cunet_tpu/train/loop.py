@@ -14,12 +14,12 @@ the decode metrics, matching the reference's CPU metric path
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np
 
-from cunet_tpu.config import ModelConfig, QuantConfig, TrainConfig
+from cunet_tpu.config import ModelConfig, QuantConfig
 from cunet_tpu.evaluation import (
     MPII_ORIGIN_IDX,
     MPII_TRAIN_IDX,

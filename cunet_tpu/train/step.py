@@ -13,9 +13,8 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from cunet_tpu.config import ModelConfig
 from cunet_tpu.models import apply_cu_net

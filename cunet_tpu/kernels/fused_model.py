@@ -14,6 +14,7 @@ Reuses the value-level stages of cunet_tpu.kernels.fused_hourglass.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -380,7 +381,10 @@ def _model_loop_kernel(meta, *refs):  # noqa: C901
             return (y, tuple(tuple(f) for f in nd), tuple(nn),
                     tuple(tuple(f) for f in nu), tuple(ni))
 
-        jax.lax.fori_loop(0, S, body, carry0)
+        # unroll=2 halves loop-management overhead at ~2x body compile cost
+        _unroll = int(os.environ.get("CUNET_TERA_UNROLL", "2"))
+        jax.lax.fori_loop(0, S, body, carry0,
+                          unroll=_unroll if S % max(_unroll, 1) == 0 else 1)
 
 
 def _push_l(fifo, val, i, order):

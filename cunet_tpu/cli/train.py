@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "bottleneck", "layer", "block"])
     p.add_argument("--use_pallas", type=str2bool, default=False,
                    help="fused Pallas kernels on the eval path (TPU only)")
+    p.add_argument("--trace_dir", type=str, default="",
+                   help="capture a jax.profiler trace of epoch 1 to this dir")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--sp", type=int, default=1, help="spatial-partition size")
@@ -218,10 +220,13 @@ def run_training(opt, exp_dir: str) -> dict:
         lr = lr_at_epoch(tcfg.lr, epoch, tcfg.schedule) if opt.adjust_lr else tcfg.lr
         if opt.adjust_lr:
             state = set_lr(state, lr)
-        state, train_loss, train_metric = train_epoch(
-            step_fn, state, train_loader, epoch,
-            log=log, print_freq=tcfg.print_freq, task=task,
-        )
+        from cunet_tpu.utils.profiling import trace as profile_trace
+
+        with profile_trace(opt.trace_dir if epoch == start_epoch else None):
+            state, train_loss, train_metric = train_epoch(
+                step_fn, state, train_loader, epoch,
+                log=log, print_freq=tcfg.print_freq, task=task,
+            )
         eval_fn = None
         if apply_fn is not None:
             eval_fn = jax.jit(

@@ -31,7 +31,7 @@ from cunet_tpu.evaluation import (
 from cunet_tpu.geometry import MPII_FLIP_PAIRS, flip_test_merge
 from cunet_tpu.models import apply_cu_net
 from cunet_tpu.train.loss import intermediate_mse
-from cunet_tpu.utils import AverageMeter, ConsoleFileLogger
+from cunet_tpu.utils import AverageMeter, ConsoleFileLogger, StepTimer
 
 
 def train_epoch(
@@ -47,15 +47,19 @@ def train_epoch(
     """One optimization epoch; returns (state, avg_loss, avg_pckh_origin).
 
     Mirrors ref:cu-net.py:147-206: per-batch loss + heatmap PCK + origin-res
-    PCKh meters, periodic logging.
+    PCKh meters, periodic logging — plus the data/step time split of the
+    face trainer's meters (ref:cu-net-face-prev-version.py:143-156).
     """
     losses, pckhs, pckhs_origin = AverageMeter(), AverageMeter(), AverageMeter()
+    timer = StepTimer()
     t0 = time.time()
     n_batches = len(loader)
     for i, batch in enumerate(loader):
+        timer.data_ready()
         device_batch = {"image": batch["image"], "heatmap": batch["heatmap"]}
         state, metrics = step_fn(state, device_batch)
-        loss = float(metrics["loss"])
+        loss = float(metrics["loss"])  # scalar fetch synchronizes the step
+        timer.step_done()
         out = np.asarray(metrics["last_out"], np.float32)
         losses.update(loss)
         if task == "mpii":
@@ -80,8 +84,8 @@ def train_epoch(
         if log and (i % print_freq == 0 or i == n_batches - 1):
             log.print_log(
                 f"epoch {epoch} [{i}/{n_batches}] time {time.time()-t0:.1f}s "
-                f"loss {losses.avg:.6f} pckh {pckhs.avg:.4f} "
-                f"metric_origin {pckhs_origin.avg:.4f}"
+                f"({timer.summary()}) loss {losses.avg:.6f} "
+                f"pckh {pckhs.avg:.4f} metric_origin {pckhs_origin.avg:.4f}"
             )
     return state, losses.avg, pckhs_origin.avg
 

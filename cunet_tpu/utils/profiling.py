@@ -70,3 +70,16 @@ def compiled_cost(fn, *args) -> Dict[str, float]:
 
 def roofline_fraction(flops: float, seconds: float, peak_flops: float) -> float:
     return (flops / seconds) / peak_flops if seconds > 0 and peak_flops > 0 else 0.0
+
+
+def enable_warning_traces():
+    """Turn warnings into printed tracebacks (the reference's debug hook,
+    ref:cu-net.py:2-8)."""
+    import traceback
+    import warnings
+
+    def hook(message, category, filename, lineno, file=None, line=None):
+        print(warnings.formatwarning(message, category, filename, lineno, line))
+        traceback.print_stack()
+
+    warnings.showwarning = hook

@@ -1,6 +1,7 @@
 from cunet_tpu.quant.wage import (
     binarize_weight,
     binarize_weight_value,
+    binarize_weight_value_ref,
     clip_c,
     fake_quant_weight,
     fixedpoint_weight_value,
@@ -20,6 +21,7 @@ from cunet_tpu.quant.transforms import (
 __all__ = [
     "binarize_weight",
     "binarize_weight_value",
+    "binarize_weight_value_ref",
     "clip_c",
     "fake_quant_weight",
     "fixedpoint_weight_value",

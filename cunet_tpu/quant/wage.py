@@ -95,10 +95,23 @@ def _per_filter_mean_abs(w):
 
 
 def binarize_weight_value(w, bits_g: int):
-    """bits_w == 1: XNOR-style sign(w) * mean|w| per output filter, the scale
-    itself quantized to bits_g (ref:utils/quantize.py:127-134)."""
+    """XNOR-style sign(w) * mean|w| per output filter, the scale itself
+    quantized to bits_g — the *intended* binarization of
+    ref:utils/quantize.py:127-134 (and the packing used by the int8
+    inference kernel)."""
     m = quant_q(_per_filter_mean_abs(w), bits_g)
     return jnp.sign(w) * m
+
+
+def binarize_weight_value_ref(w, bits_g: int):
+    """The reference's *effective* bits_w==1 forward. In
+    ref:utils/quantize.py:126-149 the ``else`` is dangling on ``if bitsW == 2``,
+    so after the scaled binarization the bitsW==1 case ALSO runs
+    ``Q(C(w, 1), 1)`` — collapsing ``sign(w)*Q(m, bitsG)`` to the unscaled
+    ``sign(w)``, zeroed wherever the quantized scale rounds to 0 (whole
+    filters with mean|w| < 1/S(bitsG))."""
+    m = quant_q(_per_filter_mean_abs(w), bits_g)
+    return jnp.sign(w) * jnp.sign(m)
 
 
 def ternarize_weight_value(w):
@@ -136,11 +149,20 @@ def _xnor_grad(w, g, bits_g: int):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fake_quant_weight(w, bits_w: int, bits_g: int):
     """Quantize a conv weight for the forward pass; the backward is the
-    reference's hand-written gradient correction + gradient quantization."""
+    reference's hand-written gradient correction + gradient quantization.
+
+    bits_w==1 reproduces the reference's EFFECTIVE behavior (unscaled
+    sign(w), see :func:`binarize_weight_value_ref`); the backward still
+    applies the scaled-binarization XNOR jacobian, exactly as the reference's
+    ``updateQuanGradWeight`` does (ref:utils/quantize.py:156-175) — the
+    reference is internally inconsistent here and we match it. bits_w>15 is
+    the identity: the reference's else-branch ``Q(C(w, bitsW), bitsW)`` is
+    identity-Q plus a [-1, 1] clamp that is a no-op after the master
+    preprocessing already clamped to the tighter bits_g range."""
     if bits_w > 15:
         return w
     if bits_w == 1:
-        return binarize_weight_value(w, bits_g)
+        return binarize_weight_value_ref(w, bits_g)
     if bits_w == 2:
         return ternarize_weight_value(w)
     return fixedpoint_weight_value(w, bits_w)

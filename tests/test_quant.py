@@ -86,6 +86,47 @@ class TestWeightQuant:
         np.testing.assert_allclose(np.asarray(q[..., 0]), 0.3, atol=1e-7)
         np.testing.assert_allclose(np.asarray(q[..., 1]), -0.5, atol=1e-7)
 
+    def test_bits_w1_matches_reference_dangling_else(self):
+        """ref:utils/quantize.py:126-149: the ``else`` dangles on
+        ``if bitsW == 2``, so bitsW==1 ALSO runs Q(C(w,1),1) after the scaled
+        binarization — effective forward = unscaled sign(w), zeroed where the
+        bits_g-quantized scale rounds to 0. fake_quant_weight must reproduce
+        that effective behavior (numpy oracle simulates the ref control flow)."""
+        rs = np.random.RandomState(3)
+        # filter 0: normal magnitudes; filter 1: tiny (scale rounds to 0 at bits_g=8)
+        w = np.concatenate(
+            [rs.randn(3, 3, 4, 1).astype(np.float32) * 0.5,
+             rs.randn(3, 3, 4, 1).astype(np.float32) * 1e-3],
+            axis=-1,
+        )
+
+        def ref_quantize(wn, bits_w, bits_g):  # ref control flow, verbatim
+            out = wn.copy()
+            if bits_w == 1:
+                m = np.mean(np.abs(wn), axis=(0, 1, 2), keepdims=True)
+                m = np.round(m * 2.0 ** (bits_g - 1)) / 2.0 ** (bits_g - 1)
+                out = np.sign(wn) * m
+            if bits_w == 2:
+                pass  # ternary (not under test here)
+            else:
+                out = np.sign(np.clip(out, -1, 1))  # Q(C(out,1),1)
+            return out
+
+        got = np.asarray(fake_quant_weight(jnp.asarray(w), 1, 8))
+        np.testing.assert_allclose(got, ref_quantize(w, 1, 8), atol=0)
+        assert np.all(got[..., 1] == 0)  # tiny filter collapses to zero
+        assert set(np.unique(got[..., 0])) <= {-1.0, 1.0}
+
+    def test_binarize_scaled_variant_keeps_scale(self):
+        from cunet_tpu.quant import binarize_weight_value_ref
+
+        w = jnp.asarray(np.random.RandomState(1).randn(3, 3, 2, 2).astype(np.float32))
+        scaled = np.asarray(binarize_weight_value(w, 8))
+        ref_eff = np.asarray(binarize_weight_value_ref(w, 8))
+        assert np.abs(scaled).max() < 1.0  # carries the mean|w| scale
+        assert set(np.unique(ref_eff)) <= {-1.0, 0.0, 1.0}
+        np.testing.assert_allclose(np.sign(scaled), ref_eff)
+
     def test_ternarize_threshold(self):
         # threshold 0.7*mean|w|; outputs in {-1,0,1} unscaled (ref :135-147)
         w = jnp.array([1.0, -1.0, 0.1, -0.1]).reshape(1, 1, 4, 1)
@@ -179,11 +220,10 @@ class TestQuantTrainStep:
             state, m = step(state, batch)
             losses.append(float(m["loss"]))
         assert all(np.isfinite(l) for l in losses)
-        # quantized weights for eval are sign*scale
+        # quantized eval weights are the reference-effective unscaled signs
         qp = quant_eval_params(state.params, qcfg)
         w = np.asarray(qp["hg"]["down"][0]["layers"][0]["conv2"])
-        scales = np.unique(np.abs(w[np.abs(w) > 0]).round(6))
-        assert scales.size <= 2  # one |scale| per output filter (2 filters... <=2)
+        assert set(np.unique(w)) <= {-1.0, 0.0, 1.0}
 
 
 class TestQuantPallasGuard:

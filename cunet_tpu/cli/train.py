@@ -124,11 +124,14 @@ def run_training(opt, exp_dir: str) -> dict:
         set_lr,
     )
     from cunet_tpu.train.loop import train_epoch, validate_epoch
-    from cunet_tpu.train.quant_step import quant_train_step
+    from cunet_tpu.train.quant_step import make_sharded_quant_train_step
     from cunet_tpu.train.step import dense_unet_apply
     from cunet_tpu.utils import Checkpoint, ConsoleFileLogger, TrainHistory, TsvLogger
 
     task = "face" if opt.dataset == "face" else "mpii"
+    use_pallas = opt.use_pallas
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False
     cfg = ModelConfig(
         layer_num=opt.layer_num,
         order=opt.order,
@@ -140,7 +143,7 @@ def run_training(opt, exp_dir: str) -> dict:
         num_blocks=opt.num_blocks,
         compute_dtype=opt.compute_dtype,
         remat=opt.remat,
-        use_pallas=opt.use_pallas,
+        use_pallas=use_pallas,
     )
     qcfg = QuantConfig(
         bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g, enabled=opt.quantize
@@ -200,11 +203,19 @@ def run_training(opt, exp_dir: str) -> dict:
     state = jax.device_put(state, replicated(mesh))
 
     if qcfg.enabled:
-        step_fn = jax.jit(
-            lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx)
-        )
+        step_fn = make_sharded_quant_train_step(mesh, cfg, qcfg, tx, donate=False)
     else:
         step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False, apply_fn=apply_fn)
+    if opt.use_pallas and not use_pallas:
+        log.print_log(
+            "=> note: --use_pallas requires a TPU backend "
+            f"(got {jax.default_backend()}); using the lax path"
+        )
+    if use_pallas and qcfg.enabled:
+        log.print_log(
+            "=> note: --use_pallas is ignored on the quantized eval path "
+            "(fused block/slot kernels skip the activation quantizers)"
+        )
 
     ckpt = Checkpoint(exp_dir)
     history = TrainHistory("min" if task == "face" else "max",
@@ -263,23 +274,32 @@ def run_eval(opt, exp_dir: str) -> dict:
     from cunet_tpu.data import (
         DataLoader, FaceDataset, MPIIDataset, SyntheticLandmarkDataset,
     )
-    from cunet_tpu.models import init_cu_net
+    from cunet_tpu.models import DenseUNetConfig, init_cu_net, init_dense_unet
     from cunet_tpu.train.loop import validate_epoch
     from cunet_tpu.train import create_train_state, make_optimizer
+    from cunet_tpu.train.step import dense_unet_apply
     from cunet_tpu.config import TrainConfig
     from cunet_tpu.utils import Checkpoint, ConsoleFileLogger, TrainHistory
 
     task = "face" if opt.dataset == "face" else "mpii"
+    use_pallas = opt.use_pallas
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False
     cfg = ModelConfig(
         layer_num=opt.layer_num, order=opt.order, class_num=opt.class_num,
         loss_num=opt.loss_num, neck_size=opt.neck_size,
         growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
         num_blocks=opt.num_blocks, compute_dtype=opt.compute_dtype,
-        remat="none", use_pallas=opt.use_pallas,
+        remat="none", use_pallas=use_pallas,
     )
     qcfg = QuantConfig(bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
                        enabled=opt.quantize)
     log = ConsoleFileLogger(os.path.join(exp_dir, "log.txt"))
+    if opt.use_pallas and not use_pallas:
+        log.print_log(
+            "=> note: --use_pallas requires a TPU backend "
+            f"(got {jax.default_backend()}); using the lax path"
+        )
 
     if opt.dataset == "synthetic":
         val_set = SyntheticLandmarkDataset(
@@ -295,10 +315,31 @@ def run_eval(opt, exp_dir: str) -> dict:
                               inp_res=opt.inp_res, out_res=opt.out_res)
     val_loader = DataLoader(val_set, opt.bs, shuffle=False, drop_last=False)
 
-    params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
+    if use_pallas and qcfg.enabled:
+        log.print_log(
+            "=> note: --use_pallas is ignored on the quantized eval path "
+            "(fused block/slot kernels skip the activation quantizers)"
+        )
+
+    apply_fn = None
+    if opt.model == "dense_unet":
+        du_cfg = DenseUNetConfig(
+            layer_num=opt.layer_num, neck_size=opt.neck_size,
+            growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
+            class_num=opt.class_num, num_blocks=opt.num_blocks,
+            compute_dtype=opt.compute_dtype, remat="none",
+        )
+        params, bn = init_dense_unet(jax.random.PRNGKey(opt.seed), du_cfg)
+        apply_fn = dense_unet_apply(du_cfg)
+    else:
+        params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
     if opt.resume_prefix:
         name = opt.resume_prefix.rstrip("-")
         if name.endswith(".pth.tar") or name.endswith(".pth"):
+            if opt.model == "dense_unet":
+                raise SystemExit(
+                    "torch-checkpoint conversion supports --model cu_net only"
+                )
             # reference torch checkpoint: convert on the fly
             from cunet_tpu.tools.convert_torch import (
                 load_torch_checkpoint, merge_into,
@@ -318,11 +359,14 @@ def run_eval(opt, exp_dir: str) -> dict:
             state, _ = ckpt.load(state, name, None)
             params, bn = state.params, state.bn_state
 
+    eval_fn = None
+    if apply_fn is not None:
+        eval_fn = jax.jit(lambda p, b, im: apply_fn(p, b, im, train=False)[0])
     val_loss, val_metric, preds = validate_epoch(
         params, bn, val_loader, cfg=cfg,
         quant=qcfg if qcfg.enabled else None,
         flip_test=(task == "mpii"), task=task,
-        num_val=len(val_set), log=log,
+        num_val=len(val_set), log=log, eval_fn=eval_fn,
     )
     metric_name = "NME" if task == "face" else "PCKh@0.5"
     log.print_log(f"eval: loss {val_loss:.6f} {metric_name} {val_metric:.4f}")

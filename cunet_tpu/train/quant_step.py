@@ -11,13 +11,16 @@ optimizer steps on the masters.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import optax
+from jax.sharding import Mesh
 
 from cunet_tpu.config import ModelConfig, QuantConfig
 from cunet_tpu.models import apply_cu_net
+from cunet_tpu.parallel import batch_sharding, replicated
 from cunet_tpu.quant import (
     preprocess_masters,
     quantize_params,
@@ -60,6 +63,31 @@ def quant_train_step(
         step=state.step + 1, params=new_params, bn_state=new_bn, opt_state=new_opt
     )
     return new_state, {"loss": loss, "last_out": last_out}
+
+
+def make_sharded_quant_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    qcfg: QuantConfig,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = False,
+    policy: str = "reference",
+):
+    """Compile ``quant_train_step`` over a mesh, mirroring
+    ``make_sharded_train_step``: batch sharded (N over data, H over space),
+    state replicated, grads all-reduced over ICI. The reference's BIN/WIG
+    trainers run under DataParallel (ref:cu-net-prev-version-wig.py:63); this
+    is the quant path's equivalent, so ``--quantize`` honours ``--dp/--sp``."""
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    fn = functools.partial(quant_train_step, cfg=cfg, qcfg=qcfg, tx=tx, policy=policy)
+    return jax.jit(
+        fn,
+        in_shardings=(rep, {"image": bsh, "heatmap": bsh}),
+        out_shardings=(rep, {"loss": rep, "last_out": bsh}),
+        donate_argnums=(0,) if donate else (),
+    )
 
 
 def quant_eval_params(params, qcfg: QuantConfig, policy: str = "reference"):

@@ -49,6 +49,27 @@ class TestCli:
         summary = (exp / "training-summary.txt").read_text().strip().split("\n")
         assert len(summary) == 3  # header + epoch1 + epoch2 (appended on resume)
 
+    def test_eval_only_dense_unet(self, tmp_path):
+        """run_eval must build the dense_unet when asked (previously it
+        silently evaluated a random cu_net)."""
+        main(_args(tmp_path, epochs=1, extra=["--model", "dense_unet",
+                                              "--loss_num", "1"]))
+        rc = main(_args(tmp_path, epochs=1, extra=[
+            "--model", "dense_unet", "--loss_num", "1",
+            "--is_train", "false", "--resume_prefix", "lr-0.00025-1"]))
+        assert rc == 0
+        log = (tmp_path / "t" / "log.txt").read_text()
+        assert "=> not load weights" not in log  # all leaves restored
+
+    def test_pallas_flag_notes(self, tmp_path):
+        """No silent flag drops: on a CPU backend --use_pallas must be
+        announced as disabled (and the quant-eval interaction noted on TPU)."""
+        rc = main(_args(tmp_path, epochs=1, extra=[
+            "--quantize", "true", "--use_pallas", "true"]))
+        assert rc == 0
+        log = (tmp_path / "t" / "log.txt").read_text()
+        assert "--use_pallas requires a TPU backend" in log
+
     def test_missing_exp_id(self, tmp_path, capsys):
         assert main(["--exp_dir", str(tmp_path)]) == 1
 

@@ -159,6 +159,57 @@ class TestShardedStep:
             )
 
 
+class TestShardedQuantStep:
+    def test_8dev_mesh_quant_spmd_matches_single_device(self):
+        """Quantized train step over dp=4 x sp=2 must equal single-device
+        execution — the quant analog of the fp32 SPMD test (the reference's
+        BIN/WIG trainers also ran under DataParallel,
+        ref:cu-net-prev-version-wig.py:63)."""
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.train.quant_step import (
+            make_sharded_quant_train_step,
+            quant_train_step,
+        )
+
+        assert len(jax.devices()) >= 8
+        mesh = make_mesh(dp=4, sp=2)
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, **SMALL)
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        tcfg = TrainConfig(lr=1e-3)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(tcfg)
+        state = create_train_state(params, bn, tx)
+        state = jax.device_put(state, replicated(mesh))
+        bsh = batch_sharding(mesh)
+        batch = {
+            "image": jax.device_put(
+                jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3)), bsh
+            ),
+            "heatmap": jax.device_put(
+                jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 4)), bsh
+            ),
+        }
+        step = make_sharded_quant_train_step(mesh, cfg, qcfg, tx)
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+        ref_state, ref_metrics = quant_train_step(
+            jax.device_put(state, jax.devices()[0]),
+            {k: np.asarray(v) for k, v in batch.items()},
+            cfg=cfg, qcfg=qcfg, tx=tx,
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+        )
+        for x, y in zip(
+            jax.tree_util.tree_leaves(new_state.params),
+            jax.tree_util.tree_leaves(ref_state.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-3, atol=5e-4
+            )
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import importlib.util, pathlib

@@ -31,9 +31,12 @@ def initialize_multihost(
     Env-driven by default: on Cloud TPU pods ``jax.distributed.initialize()``
     autodetects; explicit args cover bring-your-own launchers.
     """
-    already_multi = jax.process_count() > 1
-    if already_multi:
-        return True
+    # Must not touch the XLA backend before jax.distributed.initialize (even
+    # jax.process_count() latches it); probe the distributed client directly.
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     explicit = coordinator_address is not None
     env = os.environ.get("COORDINATOR_ADDRESS")
     if not explicit and not env and not os.environ.get("TPU_WORKER_HOSTNAMES_POD"):

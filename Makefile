@@ -16,4 +16,7 @@ smoke:           ## tiny end-to-end CLI training run on synthetic data
 	  --neck_size 2 --growth_rate 8 --init_chan_num 16 --num_blocks 2 \
 	  --inp_res 32 --out_res 8
 
-.PHONY: test bench native smoke
+smoke-tpu:       ## on-chip flagship regression smoke (train K=8, eval K=16)
+	python tools/tpu_smoke.py
+
+.PHONY: test bench native smoke smoke-tpu

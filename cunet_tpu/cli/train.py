@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     # --- TPU-native additions ---
     p.add_argument("--quantize", type=str2bool, default=False,
                    help="enable WAGE quantized training (bits_{w,i,g})")
+    p.add_argument("--int8_infer", type=str2bool, default=False,
+                   help="real int8 MXU inference for binarized 1x1 convs "
+                        "(eval only; requires --quantize, bits_w=1)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", type=str, default="bottleneck",
@@ -146,7 +149,10 @@ def run_training(opt, exp_dir: str) -> dict:
         use_pallas=use_pallas,
     )
     qcfg = QuantConfig(
-        bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g, enabled=opt.quantize
+        bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
+        enabled=opt.quantize, int8_infer=opt.int8_infer,
+        # the int8 MXU kernel needs a TPU; elsewhere run the same math in lax
+        int8_impl="pallas" if jax.default_backend() == "tpu" else "lax",
     )
     tcfg = TrainConfig(lr=opt.lr, batch_size=opt.bs, n_epochs=opt.nEpochs,
                        schedule="face" if task == "face" else "mpii",
@@ -293,7 +299,9 @@ def run_eval(opt, exp_dir: str) -> dict:
         remat="none", use_pallas=use_pallas,
     )
     qcfg = QuantConfig(bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
-                       enabled=opt.quantize)
+                       enabled=opt.quantize, int8_infer=opt.int8_infer,
+                       int8_impl="pallas" if jax.default_backend() == "tpu"
+                       else "lax")
     log = ConsoleFileLogger(os.path.join(exp_dir, "log.txt"))
     if opt.use_pallas and not use_pallas:
         log.print_log(

@@ -109,6 +109,23 @@ class QuantConfig:
     bits_i: int = 8
     bits_g: int = 8
     enabled: bool = False
+    # --- TPU-native deployment upgrade (no reference counterpart) ---
+    # Real int8 MXU execution of the binarized 1x1 convs at inference: the
+    # reference only SIMULATES low-bit (fp32 GEMMs on dequantized values,
+    # ref:utils/quantize.py:127-149). Activations are additionally quantized
+    # to bits_i at every 1x1 conv input (the reference quantizes only before
+    # 3x3 convs and heads), so this is a documented approximation mode.
+    int8_infer: bool = False
+    int8_impl: str = "pallas"   # "pallas" (MXU int8 kernel) | "lax" (oracle)
+
+    def __post_init__(self):
+        if self.int8_infer:
+            if self.bits_w != 1:
+                raise ValueError("int8_infer requires binarized weights (bits_w=1)")
+            if not (2 < self.bits_i <= 8):
+                raise ValueError("int8_infer requires 3..8 activation bits")
+            if self.int8_impl not in ("pallas", "lax"):
+                raise ValueError(f"unknown int8_impl: {self.int8_impl}")
 
 
 @dataclasses.dataclass(frozen=True)

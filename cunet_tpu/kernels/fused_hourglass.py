@@ -27,27 +27,57 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 _BF16_PROLOGUE = os.environ.get("CUNET_KERNEL_BF16_PROLOGUE", "0") == "1"
-_CONV3X3_ONEDOT = os.environ.get("CUNET_KERNEL_CONV3X3_ONEDOT", "0") == "1"
+# 3x3 conv formulations inside the kernels (measured on v5e; see PARITY.md):
+#   taps    — 9 accumulated (m, Cb)@(Cb, G) dots; N=G=32 underfills MXU lanes
+#   onedot  — im2col concat on K: (m, 9Cb)@(9Cb, G); still N=32
+#   scatter — ONE fat dot (m, Cb)@(Cb, 9G): N=9G=288 fills the lanes, then
+#             9 shifted (VPU) adds of G-wide slices gather the taps
+_CONV3X3_MODE = os.environ.get(
+    "CUNET_KERNEL_CONV3X3",
+    "onedot" if os.environ.get("CUNET_KERNEL_CONV3X3_ONEDOT", "0") == "1"
+    else "taps",
+)
 
 
-def _conv3x3(y2, w3, h, w):
+def _conv3x3(y2, w3, b, h, w, mode=None):
+    """3x3 same-padding conv on a flattened (b*h*w, Cb) value; per-image
+    spatial padding (images in the batch tile never bleed into each other).
+    Returns (b*h*w, G) fp32."""
+    mode = mode or _CONV3X3_MODE
     cb = y2.shape[-1]
     cout = w3.shape[-1]
-    ypad = jnp.pad(y2.reshape(h, w, cb), ((1, 1), (1, 1), (0, 0)))
+    m = b * h * w
+    ypad = jnp.pad(y2.reshape(b, h, w, cb), ((0, 0), (1, 1), (1, 1), (0, 0)))
     dn = (((1,), (0,)), ((), ()))
-    if _CONV3X3_ONEDOT:
+    if mode == "scatter":
+        # t[p, (dy,dx)*G:c] = y2[p] @ w3[dy,dx]; out[o] = sum_d t[o+d-1, d]
+        w_sc = jnp.transpose(w3[...], (2, 0, 1, 3)).reshape(cb, 9 * cout)
+        t = jax.lax.dot_general(
+            y2.astype(y2.dtype), w_sc.astype(y2.dtype), dn,
+            preferred_element_type=jnp.float32,
+        )
+        tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((b, h, w, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                d = dy * 3 + dx
+                acc = acc + tp[:, dy:dy + h, dx:dx + w,
+                               d * cout:(d + 1) * cout]
+        return acc.reshape(m, cout)
+    if mode == "onedot":
         taps = jnp.concatenate(
-            [ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cb)
+            [ypad[:, dy:dy + h, dx:dx + w, :].reshape(m, cb)
              for dy in range(3) for dx in range(3)], axis=-1,
         )
         w_flat = w3[...].reshape(9 * cb, cout)
         return jax.lax.dot_general(
             taps.astype(y2.dtype), w_flat, dn, preferred_element_type=jnp.float32
         )
-    acc = jnp.zeros((h * w, cout), jnp.float32)
+    acc = jnp.zeros((m, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tap = ypad[dy : dy + h, dx : dx + w, :].reshape(h * w, cb)
+            tap = ypad[:, dy:dy + h, dx:dx + w, :].reshape(m, cb)
             acc = acc + jax.lax.dot_general(
                 tap.astype(y2.dtype), w3[dy, dx], dn,
                 preferred_element_type=jnp.float32,
@@ -70,13 +100,13 @@ def _bottleneck_val(x_cat, vec, w, dtype):
     )
 
 
-def _block_stage(x_cat, wset, h, w, dtype):
-    """One dense block on VMEM values. wset: dict of loaded weight arrays.
-    Returns (ahead, skip_or_None, layer_out) as (m, C) fp32/bf16 values."""
-    m = h * w
+def _block_stage(x_cat, wset, h, w, dtype, b=1):
+    """One dense block on VMEM values (``b`` images flattened together).
+    wset: dict of loaded weight arrays. Returns (ahead, skip_or_None,
+    layer_out) as (b*h*w, C) fp32/bf16 values."""
     yb = _bottleneck_val(x_cat, wset["vec_b"], wset["w_b"], dtype)
     y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :], 0.0).astype(dtype)
-    out32 = _conv3x3(y2, wset["w3"], h, w).astype(dtype)
+    out32 = _conv3x3(y2, wset["w3"], b, h, w).astype(dtype)
     x2 = jnp.concatenate([x_cat, out32], axis=-1)
     ahead = _bottleneck_val(x2, wset["vec_a"], wset["w_a"], dtype).astype(dtype)
     skip = None
@@ -85,18 +115,18 @@ def _block_stage(x_cat, wset, h, w, dtype):
     return ahead, skip, out32
 
 
-def _maxpool2(x, h, w):
+def _maxpool2(x, h, w, b=1):
     c = x.shape[-1]
-    return jnp.max(x.reshape(h // 2, 2, w // 2, 2, c), axis=(1, 3)).reshape(
-        (h // 2) * (w // 2), c
-    )
+    return jnp.max(
+        x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4)
+    ).reshape(b * (h // 2) * (w // 2), c)
 
 
-def _upsample2(x, h, w):
+def _upsample2(x, h, w, b=1):
     c = x.shape[-1]
-    x = x.reshape(h, w, c)
-    x = jnp.broadcast_to(x[:, None, :, None, :], (h, 2, w, 2, c))
-    return x.reshape((2 * h) * (2 * w), c)
+    x = x.reshape(b, h, w, c)
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b * (2 * h) * (2 * w), c)
 
 
 def _hg_kernel(meta, *refs):

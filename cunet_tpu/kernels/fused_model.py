@@ -249,75 +249,60 @@ def _model_loop_kernel(meta, *refs):  # noqa: C901
     order = meta["order"]
     start = meta["start"]              # = max(order, 1); slots < start unrolled
     h0 = meta["h"]
+    bt = meta["bt"]                    # images per grid step (batch tile)
     dtype = meta["dtype"]
 
     it = iter(refs)
     nxt = lambda: next(it)
 
-    y = nxt()[0]
+    # all activations flow flat as (bt*h*w, C); spatial ops take (bt, h, w)
+    y = nxt()[...].reshape(bt * h0 * h0, -1)
 
     f_down = [[] for _ in range(nb)]
     f_neck: list = []
     f_up = [[] for _ in range(nb)]
     f_inter: list = []
 
-    def push(fifo, val, i):
-        if i < order:
-            fifo.append(val)
-        elif fifo:
-            fifo.pop(0)
-            fifo.append(val)
-
     def run_slot(y, i, get_wset, get_inter, get_head, fifo_state):
         f_down, f_neck, f_up, f_inter = fifo_state
         h = w = h0
-        m = h * w
         if i == 0:
             if order > 0:
                 f_inter = f_inter + [y]
         else:
             vec_p, w_p = get_inter()
-            x_cat = jnp.concatenate(
-                [y.reshape(m, -1)] + [f.reshape(m, -1) for f in f_inter], axis=-1
-            )
-            y = _bottleneck_val(x_cat, vec_p, w_p, dtype).astype(dtype).reshape(h, w, -1)
+            x_cat = jnp.concatenate([y] + list(f_inter), axis=-1)
+            y = _bottleneck_val(x_cat, vec_p, w_p, dtype).astype(dtype)
             f_inter = _push_l(f_inter, y, i, order)
         skips = []
         nf_down = list(f_down)
         for j in range(nb):
             wset = get_wset(j, True)
-            x_cat = jnp.concatenate(
-                [y.reshape(m, -1)] + [f.reshape(m, -1) for f in nf_down[j]], axis=-1
-            )
-            ahead, skip, out32 = _block_stage(x_cat, wset, h, w, dtype)
-            nf_down[j] = _push_l(nf_down[j], out32.reshape(h, w, -1), i, order)
+            x_cat = jnp.concatenate([y] + list(nf_down[j]), axis=-1)
+            ahead, skip, out32 = _block_stage(x_cat, wset, h, w, dtype, bt)
+            nf_down[j] = _push_l(nf_down[j], out32, i, order)
             skips.append(skip)
-            y = _maxpool2(ahead, h, w).reshape(h // 2, w // 2, -1)
+            y = _maxpool2(ahead, h, w, bt)
             h, w = h // 2, w // 2
-            m = h * w
         wset = get_wset(nb, False)
-        x_cat = jnp.concatenate(
-            [y.reshape(m, -1)] + [f.reshape(m, -1) for f in f_neck], axis=-1
-        )
-        ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
-        nf_neck = _push_l(f_neck, out32.reshape(h, w, -1), i, order)
-        y = ahead.reshape(h, w, -1)
+        x_cat = jnp.concatenate([y] + list(f_neck), axis=-1)
+        ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype, bt)
+        nf_neck = _push_l(f_neck, out32, i, order)
+        y = ahead
         nf_up = list(f_up)
         for idx, j in enumerate(reversed(range(nb))):
-            up = _upsample2(y, h, w)
+            up = _upsample2(y, h, w, bt)
             h, w = h * 2, w * 2
-            m = h * w
             wset = get_wset(nb + 1 + idx, False)
             x_cat = jnp.concatenate(
-                [up, skips[j].reshape(m, -1)] + [f.reshape(m, -1) for f in nf_up[j]],
-                axis=-1,
+                [up, skips[j]] + list(nf_up[j]), axis=-1
             )
-            ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype)
-            nf_up[j] = _push_l(nf_up[j], out32.reshape(h, w, -1), i, order)
-            y = ahead.reshape(h, w, -1)
+            ahead, _, out32 = _block_stage(x_cat, wset, h, w, dtype, bt)
+            nf_up[j] = _push_l(nf_up[j], out32, i, order)
+            y = ahead
         vec_h, w_h = get_head()
-        hm = _bottleneck_val(y.reshape(m, -1), vec_h, w_h, dtype).astype(dtype)
-        return y, hm.reshape(h, w, -1), (nf_down, nf_neck, nf_up, f_inter)
+        hm = _bottleneck_val(y, vec_h, w_h, dtype).astype(dtype)
+        return y, hm.reshape(bt, h, w, -1), (nf_down, nf_neck, nf_up, f_inter)
 
     # ---- unrolled prefix slots: per-slot refs ----
     prefix_heads = []
@@ -351,9 +336,9 @@ def _model_loop_kernel(meta, *refs):  # noqa: C901
             block_stacks.append(st)
         head_stack = (nxt(), nxt())
 
-    out_ref = nxt()  # (1, K, h0, h0, class)
+    out_ref = nxt()  # (bt, K, h0, h0, class)
     for i, hm in enumerate(prefix_heads):
-        out_ref[0, i] = hm
+        out_ref[:, i] = hm
 
     if S > 0:
         carry0 = (
@@ -377,7 +362,7 @@ def _model_loop_kernel(meta, *refs):  # noqa: C901
                 get_head=lambda r=r: (head_stack[0][r], head_stack[1][r]),
                 fifo_state=fifo_state,
             )
-            out_ref[0, start + r] = hm
+            out_ref[:, start + r] = hm
             return (y, tuple(tuple(f) for f in nd), tuple(nn),
                     tuple(tuple(f) for f in nu), tuple(ni))
 
@@ -395,6 +380,25 @@ def _push_l(fifo, val, i, order):
     return fifo
 
 
+def default_batch_tile(n: int, h0: int, layer_num: int) -> int:
+    """Images per grid step. Batch tiling multiplies the M dimension of every
+    MXU matmul in the kernel (the deep 8x8/4x4 stages are M-starved per
+    image) at the cost of VMEM for the tile's activations. 4 at 64x64 stem
+    resolution measures fastest on v5e; override with CUNET_TERA_BATCH_TILE."""
+    env = os.environ.get("CUNET_TERA_BATCH_TILE")
+    if env:
+        bt = int(env)
+        if n % bt:
+            raise ValueError(f"batch {n} not divisible by batch tile {bt}")
+        return bt
+    budget = 4 if h0 >= 64 else 8
+    bt = 1
+    for cand in (2, 4, 8):
+        if cand <= budget and n % cand == 0:
+            bt = cand
+    return bt
+
+
 def fused_model_loop_infer(
     y_stem: jnp.ndarray,
     slot_args: Sequence[Dict],
@@ -403,6 +407,7 @@ def fused_model_loop_infer(
     layer_num: int,
     order: int,
     class_num: int,
+    batch_tile: int = 0,
     interpret: bool = False,
 ):
     """Loop-variant one-launch full forward: steady-state slots run under an
@@ -410,16 +415,18 @@ def fused_model_loop_infer(
     bodies instead of K). Heads are computed for EVERY slot; returns a single
     stacked array (N, K, h0, h0, class_num) — select anchors outside.
 
-    Requires ``slot_args[i]["head"]`` for all slots (params always carry all
-    K heads).
+    ``batch_tile`` images are processed together per grid step (0 = auto),
+    multiplying every matmul's M dimension. Requires ``slot_args[i]["head"]``
+    for all slots (params always carry all K heads).
     """
     n, h0 = y_stem.shape[0], y_stem.shape[1]
     dtype = y_stem.dtype
     start = max(order, 1)
     S = layer_num - start
+    bt = batch_tile or default_batch_tile(n, h0, layer_num)
 
     def xspec(a):
-        return pl.BlockSpec((1,) + a.shape[1:], lambda i: (i, 0, 0, 0),
+        return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def full(a):
@@ -480,14 +487,14 @@ def fused_model_loop_infer(
         add(jnp.stack([conv2d_mat(sa["head"][1]) for sa in steady]))
 
     out_shape = jax.ShapeDtypeStruct((n, layer_num, h0, h0, class_num), dtype)
-    out_spec = pl.BlockSpec((1, layer_num, h0, h0, class_num),
+    out_spec = pl.BlockSpec((bt, layer_num, h0, h0, class_num),
                             lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
 
     meta = dict(num_blocks=num_blocks, layer_num=layer_num, order=order,
-                start=start, h=h0, dtype=dtype)
+                start=start, h=h0, bt=bt, dtype=dtype)
     return pl.pallas_call(
         functools.partial(_model_loop_kernel, meta),
-        grid=(n,),
+        grid=(n // bt,),
         in_specs=specs,
         out_specs=out_spec,
         out_shape=out_shape,

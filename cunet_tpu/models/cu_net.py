@@ -195,10 +195,51 @@ def init_cu_net(key, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 
-def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train):
+def _int8_bottleneck_infer(p, s, feats: Sequence[jnp.ndarray], quant):
+    """BN(eval) -> ReLU -> quantize(bits_i) -> REAL int8 1x1 conv on the MXU.
+
+    The reference only simulates low-bit inference with fp GEMMs on
+    dequantized values (ref:utils/quantize.py:127-149); here the binarized
+    {-1, 0, +1} weights (already materialized by ``quant_eval_params``) run
+    as int8 with int32 accumulation — exact integer arithmetic, so this
+    matches the float simulation bit-for-bit (asserted in tests)."""
+    from cunet_tpu.kernels.quant_matmul import (
+        int8_matmul_dequant,
+        quantize_activations_i8,
+    )
+    from cunet_tpu.ops.layers import bn_inference_scale_shift
+
+    inv, shift = bn_inference_scale_shift(p["norm"], s)
+    x = jnp.concatenate(list(feats), axis=-1)
+    y = relu(x.astype(jnp.float32) * inv + shift)
+    y_i8, x_scale = quantize_activations_i8(y, quant.bits_i)
+    w2 = p["conv"][0, 0]  # (K, Cout), values in {-1, 0, +1}
+    cout = w2.shape[1]
+    if quant.int8_impl == "lax":
+        out = (
+            jax.lax.dot_general(
+                y_i8.reshape(-1, w2.shape[0]).astype(jnp.float32),
+                w2.astype(jnp.float32),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) * x_scale
+        )
+    else:
+        out = int8_matmul_dequant(
+            y_i8.reshape(-1, w2.shape[0]),
+            jnp.round(w2).astype(jnp.int8),
+            jnp.ones((cout,), jnp.float32),
+            x_scale,
+        )
+    return out.reshape(*x.shape[:-1], cout).astype(x.dtype)
+
+
+def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train,
+                      quant=None):
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
     p = {"norm": params["norm"], "conv": params["conv"]}
     s = state["norm"]
+    if (not train) and quant is not None and quant.enabled and quant.int8_infer:
+        return _int8_bottleneck_infer(p, s, feats, quant), {"norm": s}
     if train and cfg.use_pallas:
         # fused train kernel: O(1) residuals, recompute backward (subsumes
         # the remat=bottleneck policy)
@@ -223,7 +264,8 @@ def _apply_dense_layer(
     """
     def inner(params, state, feats):
         b, bs = _apply_bottleneck(
-            params["bottleneck"], state["bottleneck"], feats, cfg=cfg, train=train
+            params["bottleneck"], state["bottleneck"], feats, cfg=cfg, train=train,
+            quant=quant,
         )
         y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train)
         y = relu(y)
@@ -248,7 +290,7 @@ def _apply_dense_layer(
 
 
 
-def _apply_dual_adapters(p_a, s_a, p_s, s_s, feats, *, cfg, train):
+def _apply_dual_adapters(p_a, s_a, p_s, s_s, feats, *, cfg, train, quant=None):
     """Ahead + skip adapters over the same feature list. In Pallas eval mode
     both run in ONE fused kernel sharing input reads."""
     if not train and cfg.use_pallas:
@@ -261,8 +303,8 @@ def _apply_dual_adapters(p_a, s_a, p_s, s_s, feats, *, cfg, train):
             list(feats), inv_a, sh_a, p_a["conv"], inv_s, sh_s, p_s["conv"]
         )
         return (a, sk), (s_a, s_s)
-    a, ns_a = _apply_bottleneck(p_a, s_a, feats, cfg=cfg, train=train)
-    sk, ns_s = _apply_bottleneck(p_s, s_s, feats, cfg=cfg, train=train)
+    a, ns_a = _apply_bottleneck(p_a, s_a, feats, cfg=cfg, train=train, quant=quant)
+    sk, ns_s = _apply_bottleneck(p_s, s_s, feats, cfg=cfg, train=train, quant=quant)
     return (a, sk), (ns_a, ns_s)
 
 
@@ -304,13 +346,14 @@ def _apply_dense_block(
         (ahead, skip), (ahead_s, skip_s) = _apply_dual_adapters(
             params["adapters_ahead"][i], state["adapters_ahead"][i],
             params["adapters_skip"][i], state["adapters_skip"][i],
-            x, cfg=cfg, train=train,
+            x, cfg=cfg, train=train, quant=quant,
         )
         patches = {"layers": {i: layer_s}, "adapters_ahead": {i: ahead_s},
                    "adapters_skip": {i: skip_s}}
         return (ahead, skip), new_fifo, patches
     ahead, ahead_s = _apply_bottleneck(
-        params["adapters_ahead"][i], state["adapters_ahead"][i], x, cfg=cfg, train=train
+        params["adapters_ahead"][i], state["adapters_ahead"][i], x, cfg=cfg,
+        train=train, quant=quant,
     )
     patches = {"layers": {i: layer_s}, "adapters_ahead": {i: ahead_s}}
     return (ahead, None), new_fifo, patches
@@ -446,12 +489,14 @@ def _scan_block(p, s, feats, fifo, *, cfg, train, requires_skip, rng, quant):
         (ahead, skip), (ahead_s, skip_s) = _apply_dual_adapters(
             p["adapters_ahead"], s["adapters_ahead"],
             p["adapters_skip"], s["adapters_skip"], x, cfg=cfg, train=train,
+            quant=quant,
         )
         new_s = {"layers": layer_s, "adapters_ahead": ahead_s,
                  "adapters_skip": skip_s}
         return (ahead, skip), new_fifo, new_s
     ahead, ahead_s = _apply_bottleneck(
-        p["adapters_ahead"], s["adapters_ahead"], x, cfg=cfg, train=train
+        p["adapters_ahead"], s["adapters_ahead"], x, cfg=cfg, train=train,
+        quant=quant,
     )
     new_s = {"layers": layer_s, "adapters_ahead": ahead_s}
     return (ahead, None), new_fifo, new_s

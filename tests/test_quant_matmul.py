@@ -64,6 +64,76 @@ class TestPacking:
         )
 
 
+class TestInt8ModelPath:
+    def test_int8_eval_matches_float_simulation_exactly(self, monkeypatch):
+        """Model-level int8 inference (VERDICT r1 #7): the pallas int8 MXU
+        path and the float simulation of the identical math must agree
+        BIT-FOR-BIT (integer products, exact in both arithmetics)."""
+        import cunet_tpu.kernels.quant_matmul as qm
+        from cunet_tpu.config import ModelConfig, QuantConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+        from cunet_tpu.train.quant_step import quant_eval_params
+
+        orig = qm.int8_matmul_dequant
+        monkeypatch.setattr(qm, "int8_matmul_dequant",
+                            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, class_num=4,
+                          neck_size=2, growth_rate=8, init_chan_num=16,
+                          num_blocks=2, compute_dtype="float32")
+        q_pl = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                           int8_infer=True, int8_impl="pallas")
+        q_lx = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                           int8_infer=True, int8_impl="lax")
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
+        qp = quant_eval_params(params, q_pl)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_pl, _ = apply_cu_net(qp, state, x, cfg=cfg, train=False, quant=q_pl)
+        out_lx, _ = apply_cu_net(qp, state, x, cfg=cfg, train=False, quant=q_lx)
+        for a, b in zip(out_pl, out_lx):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_int8_bottleneck_semantics_vs_quan_input_oracle(self):
+        """Unit pin: _int8_bottleneck_infer == BN(eval) -> ReLU ->
+        quan_input(bits_i) -> 1x1 conv with the binarized weights, exactly
+        (the documented semantics of the int8 insertion)."""
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.models.cu_net import _int8_bottleneck_infer
+        from cunet_tpu.ops import batch_norm, conv2d, relu
+
+        rs = np.random.RandomState(0)
+        cin, cout = 24, 16
+        feats = [jnp.asarray(rs.randn(2, 4, 4, 16).astype(np.float32)),
+                 jnp.asarray(rs.randn(2, 4, 4, 8).astype(np.float32))]
+        p = {
+            "norm": {"scale": jnp.asarray(rs.rand(cin).astype(np.float32)),
+                     "bias": jnp.asarray(rs.randn(cin).astype(np.float32) * 0.1)},
+            "conv": jnp.asarray(
+                rs.choice([-1.0, 0.0, 1.0], (1, 1, cin, cout)).astype(np.float32)),
+        }
+        s = {"mean": jnp.asarray(rs.randn(cin).astype(np.float32) * 0.1),
+             "var": jnp.asarray(rs.rand(cin).astype(np.float32) + 0.5)}
+        q = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                        int8_infer=True, int8_impl="lax")
+
+        got = _int8_bottleneck_infer(p, s, feats, q)
+
+        x = jnp.concatenate(feats, axis=-1)
+        y, _ = batch_norm(x, p["norm"], s, train=False)
+        y = quan_input(relu(y), 8)
+        want = conv2d(y, p["conv"], stride=1, padding=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-6)
+
+    def test_int8_config_validation(self):
+        from cunet_tpu.config import QuantConfig
+
+        with pytest.raises(ValueError):
+            QuantConfig(bits_w=2, int8_infer=True)
+        with pytest.raises(ValueError):
+            QuantConfig(bits_w=1, bits_i=16, int8_infer=True)
+
+
 class TestMultihost:
     def test_initialize_noop_single_process(self):
         from cunet_tpu.parallel.multihost import initialize_multihost

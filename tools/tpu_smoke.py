@@ -1,0 +1,112 @@
+"""On-chip flagship regression smoke (VERDICT r1 #10).
+
+Runs on the real TPU (NOT under the CPU-forced pytest conftest):
+  1. 10 training steps of CU-Net-8 @ 256x256 bs24 (remat=bottleneck) —
+     asserts finite descending-ish loss and a minimum throughput;
+  2. 10 eval batches of CU-Net-16 (the human flagship, ref:README.md:43)
+     through the tera kernel — asserts finite outputs and min throughput.
+
+Exit code 0 = pass. Invoke via ``make smoke-tpu``. Thresholds are set ~25%
+below the perf record of the round that touched the code last, so a silent
+regression in the hot path fails the smoke rather than shipping.
+"""
+
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_TRAIN_IMGS_PER_SEC = 130.0   # record 181 (r1); fail below ~0.7x
+MIN_EVAL16_IMGS_PER_SEC = 900.0  # record 1325 (r1 tera loop); fail below ~0.7x
+
+
+def _fetch(x) -> float:
+    """Force completion through the axon relay (block_until_ready does not
+    synchronize there; only host transfer does)."""
+    return float(np.asarray(x, np.float32).ravel()[0])
+
+
+def smoke_train_k8() -> float:
+    from cunet_tpu.config import ModelConfig, TrainConfig
+    from cunet_tpu.models import init_cu_net
+    from cunet_tpu.train import create_train_state, make_optimizer, train_step
+
+    cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
+                      compute_dtype="bfloat16", remat="bottleneck")
+    bs = 24
+    params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
+    state = create_train_state(params, bn, tx)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(bs, 256, 256, 3), jnp.bfloat16),
+        "heatmap": jnp.asarray(rng.rand(bs, 64, 64, 16), jnp.float32),
+    }
+    step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
+    state, m = step(state, batch)  # compile + step 1
+    first = _fetch(m["loss"])
+    assert np.isfinite(first), f"non-finite loss at step 1: {first}"
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(9):
+        state, m = step(state, batch)
+        losses.append(m["loss"])
+    last = _fetch(losses[-1])
+    dt = (time.perf_counter() - t0) / 9
+    assert np.isfinite(last), f"non-finite loss at step 10: {last}"
+    assert last < first * 1.5, f"loss diverging: {first} -> {last}"
+    ips = bs / dt
+    print(f"train K=8 @256 bs24: {ips:.1f} img/s (loss {first:.4f} -> {last:.4f})")
+    assert ips >= MIN_TRAIN_IMGS_PER_SEC, (
+        f"train throughput regressed: {ips:.1f} < {MIN_TRAIN_IMGS_PER_SEC}")
+    return ips
+
+
+def smoke_eval_k16_tera() -> float:
+    from cunet_tpu.config import ModelConfig
+    from cunet_tpu.models import apply_cu_net, init_cu_net
+
+    cfg = ModelConfig(layer_num=16, order=1, class_num=16, loss_num=16,
+                      compute_dtype="bfloat16", remat="none",
+                      use_pallas=True, pallas_whole_model=True)
+    bs = 128
+    params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
+
+    def fwd(params, state, x):
+        outs, _ = apply_cu_net(params, state, x, cfg=cfg, train=False)
+        o = outs[-1].astype(jnp.float32)
+        return jnp.sum(o), jnp.min(o)
+
+    x = jnp.ones((bs, 256, 256, 3), jnp.bfloat16)
+    compiled = jax.jit(fwd).lower(params, state, x).compile()
+    s, mn = compiled(params, state, x)
+    assert np.isfinite(_fetch(s)) and np.isfinite(_fetch(mn))
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = [compiled(params, state, x) for _ in range(10)]
+        assert np.isfinite(_fetch(res[-1][0]))
+        times.append((time.perf_counter() - t0) / 10)
+    ips = bs / statistics.median(times)
+    print(f"eval K=16 @256 tera: {ips:.1f} img/s")
+    assert ips >= MIN_EVAL16_IMGS_PER_SEC, (
+        f"K=16 eval throughput regressed: {ips:.1f} < {MIN_EVAL16_IMGS_PER_SEC}")
+    return ips
+
+
+def main() -> int:
+    if jax.default_backend() not in ("tpu", "axon") and \
+            "tpu" not in jax.devices()[0].device_kind.lower():
+        print(f"SKIP: needs a TPU backend (got {jax.default_backend()})")
+        return 0
+    smoke_train_k8()
+    smoke_eval_k16_tera()
+    print("TPU_SMOKE_PASS")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

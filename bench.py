@@ -70,6 +70,49 @@ def conv_flops_per_image(cfg: ModelConfig) -> float:
     return flops
 
 
+def train_flops_per_image(cfg: ModelConfig) -> float:
+    """Training cost model: forward + backward. Backward of a conv is two
+    convs' worth (dX + dW), so fwd+bwd ~= 3x fwd; remat=bottleneck recomputes
+    the bottleneck 1x1s (~20% of MACs) once more => ~3.2x."""
+    return 3.2 * conv_flops_per_image(cfg)
+
+
+def bench_train():
+    """CU-Net-8 @256 bs24 training step throughput (the reference's headline
+    workload: ref:cu-net.py:147-206 RMSprop heatmap regression)."""
+    from cunet_tpu.config import TrainConfig
+    from cunet_tpu.train import create_train_state, make_optimizer, train_step
+
+    cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
+                      compute_dtype="bfloat16", remat="bottleneck",
+                      use_pallas=False)
+    bs = 24
+    params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
+    state = create_train_state(params, bn, tx)
+    batch = {"image": jnp.ones((bs, 256, 256, 3), jnp.bfloat16),
+             "heatmap": jnp.zeros((bs, 64, 64, 16), jnp.float32)}
+    step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    n_iters = 8
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, m = step(state, batch)
+        assert np.isfinite(float(m["loss"]))  # fetch forces the queue
+        times.append((time.perf_counter() - t0) / n_iters)
+    dt = statistics.median(times)
+    print(json.dumps({
+        "metric": "cu_net8_256_train_images_per_sec_per_chip",
+        "value": round(bs / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(train_flops_per_image(cfg) * bs / dt
+                             / device_peak_flops(), 4),
+    }))
+
+
 def main():
     cfg = ModelConfig(
         layer_num=8,
@@ -129,4 +172,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()

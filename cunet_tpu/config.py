@@ -77,6 +77,8 @@ class ModelConfig:
     pallas_hourglass: bool = True    # whole-slot giga-kernel (vs per-block kernels)
     pallas_whole_model: bool = False # single-launch full-forward tera-kernel
     use_scan: bool = True            # lax.scan over steady-state U-Net slots
+    conv3x3_impl: str = "lax"        # "lax" (conv_general) | "scatter" (fat
+                                     # matmul + shifted adds; MXU-friendly N)
 
     def __post_init__(self):
         if self.order >= self.layer_num:
@@ -86,6 +88,8 @@ class ModelConfig:
             )
         if self.remat not in ("none", "bottleneck", "layer", "block"):
             raise ValueError(f"unknown remat policy: {self.remat}")
+        if self.conv3x3_impl not in ("lax", "scatter"):
+            raise ValueError(f"unknown conv3x3_impl: {self.conv3x3_impl}")
         loss_anchors(self.layer_num, self.loss_num)  # validate
 
     @property

@@ -273,7 +273,12 @@ def _apply_dense_layer(
             from cunet_tpu.quant.wage import quan_input
 
             y = quan_input(y, quant.bits_i)
-        y = conv2d(y, params["conv2"], stride=1, padding=1)
+        if cfg.conv3x3_impl == "scatter":
+            from cunet_tpu.ops.layers import conv3x3_scatter
+
+            y = conv3x3_scatter(y, params["conv2"])
+        else:
+            y = conv2d(y, params["conv2"], stride=1, padding=1)
         return y, {"bottleneck": bs, "norm2": ns2}
 
     if train and cfg.remat == "layer":

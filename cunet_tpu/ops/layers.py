@@ -117,6 +117,35 @@ def conv2d(x, w, *, stride: int = 1, padding: int = 0):
     )
 
 
+def conv3x3_scatter(x, w):
+    """3x3 same-padding conv as ONE fat matmul + 9 shifted adds.
+
+    The model's 3x3 convs emit only ``growth_rate`` (32) channels — an
+    MXU-hostile N dimension (the 128-wide systolic array runs at ~25%
+    occupancy). Reformulated: ``t = x @ W'`` with ``W' (Cin, 9*Cout)``
+    (tap-major columns) fills the lanes, then each output gathers its 9
+    spatially-shifted tap slices (cheap VPU adds XLA fuses). Numerically
+    identical to ``conv2d(x, w, padding=1)``; autodiff produces equally
+    well-shaped matmuls for dX and dW, which is what makes the TRAIN path
+    fast without custom kernels.
+    """
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    w_sc = jnp.transpose(w, (2, 0, 1, 3)).reshape(cin, 9 * cout)
+    t = lax.dot_general(
+        x.reshape(n * h * wd, cin), w_sc.astype(x.dtype),
+        (((1,), (0,)), ((), ())),
+    )
+    tp = jnp.pad(t.reshape(n, h, wd, 9 * cout), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            d = dy * 3 + dx
+            sl = tp[:, dy:dy + h, dx:dx + wd, d * cout:(d + 1) * cout]
+            acc = sl if acc is None else acc + sl
+    return acc
+
+
 def max_pool_2x2(x):
     """2x2/stride-2 max pool (ref:models/cu_net.py:249,303).
 

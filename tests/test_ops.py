@@ -166,3 +166,48 @@ class TestDenseBottleneck:
         g2 = jax.grad(loss_naive)(feats)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+class TestConv3x3Scatter:
+    def test_matches_conv2d_fwd_and_grads(self):
+        """conv3x3_scatter must equal conv2d(padding=1) in value AND in both
+        input/weight gradients (it is the train-path formulation)."""
+        import jax
+        import jax.numpy as jnp
+        from cunet_tpu.ops import conv2d
+        from cunet_tpu.ops.layers import conv3x3_scatter
+
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(2, 6, 5, 16).astype(np.float32))
+        w = jnp.asarray(rs.randn(3, 3, 16, 8).astype(np.float32) * 0.2)
+        got = conv3x3_scatter(x, w)
+        want = conv2d(x, w, stride=1, padding=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        g = jnp.asarray(rs.randn(*want.shape).astype(np.float32))
+        f1 = lambda x, w: jnp.sum(conv3x3_scatter(x, w) * g)
+        f2 = lambda x, w: jnp.sum(conv2d(x, w, stride=1, padding=1) * g)
+        gx1, gw1 = jax.grad(f1, argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(f2, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_model_level_scatter_matches_lax(self):
+        import jax
+        from cunet_tpu.config import ModelConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2)
+        cfg_s = ModelConfig(layer_num=2, order=1, loss_num=2,
+                            conv3x3_impl="scatter", **SMALL)
+        cfg_l = ModelConfig(layer_num=2, order=1, loss_num=2, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_s, _ = apply_cu_net(params, state, x, cfg=cfg_s, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
+        for a, b in zip(out_s, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)

@@ -113,12 +113,12 @@ def bench_train():
     }))
 
 
-def main():
+def main(layer_num: int = 8, metric_tag: str = "cu_net8"):
     cfg = ModelConfig(
-        layer_num=8,
+        layer_num=layer_num,
         order=1,
         class_num=16,
-        loss_num=8,
+        loss_num=layer_num,
         compute_dtype="bfloat16",
         remat="none",
         use_pallas=True,
@@ -162,7 +162,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cu_net8_256_inference_images_per_sec_per_chip",
+                "metric": f"{metric_tag}_256_inference_images_per_sec_per_chip",
                 "value": round(imgs_per_sec, 2),
                 "unit": "images/sec",
                 "vs_baseline": round(roofline_frac, 4),
@@ -176,5 +176,7 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv:
         bench_train()
+    elif "--k16" in sys.argv:  # the human flagship (ref:README.md:43)
+        main(layer_num=16, metric_tag="cu_net16")
     else:
         main()

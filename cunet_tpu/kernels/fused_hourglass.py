@@ -39,21 +39,34 @@ _CONV3X3_MODE = os.environ.get(
 )
 
 
+def pack_w3_scatter(w3):
+    """HWIO (3,3,Cb,G) -> (Cb, 9G) with tap-major columns, packed HOST-side
+    (Mosaic cannot shape-cast the 4D weight inside a kernel)."""
+    return jnp.transpose(w3, (2, 0, 1, 3)).reshape(w3.shape[2], 9 * w3.shape[3])
+
+
+def pack_w3(w3):
+    """Pack a 3x3 conv weight for the active in-kernel conv mode."""
+    return pack_w3_scatter(w3) if _CONV3X3_MODE == "scatter" else w3
+
+
 def _conv3x3(y2, w3, b, h, w, mode=None):
     """3x3 same-padding conv on a flattened (b*h*w, Cb) value; per-image
     spatial padding (images in the batch tile never bleed into each other).
-    Returns (b*h*w, G) fp32."""
+    Returns (b*h*w, G) fp32. In scatter mode ``w3`` must already be the
+    host-packed (Cb, 9G) layout (see pack_w3_scatter)."""
     mode = mode or _CONV3X3_MODE
+    if w3.ndim == 2:
+        mode = "scatter"
     cb = y2.shape[-1]
-    cout = w3.shape[-1]
     m = b * h * w
-    ypad = jnp.pad(y2.reshape(b, h, w, cb), ((0, 0), (1, 1), (1, 1), (0, 0)))
     dn = (((1,), (0,)), ((), ()))
     if mode == "scatter":
         # t[p, (dy,dx)*G:c] = y2[p] @ w3[dy,dx]; out[o] = sum_d t[o+d-1, d]
-        w_sc = jnp.transpose(w3[...], (2, 0, 1, 3)).reshape(cb, 9 * cout)
+        assert w3.ndim == 2, "scatter mode needs the host-packed (Cb, 9G) weight"
+        cout = w3.shape[-1] // 9
         t = jax.lax.dot_general(
-            y2.astype(y2.dtype), w_sc.astype(y2.dtype), dn,
+            y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
             preferred_element_type=jnp.float32,
         )
         tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
@@ -65,6 +78,8 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
                 acc = acc + tp[:, dy:dy + h, dx:dx + w,
                                d * cout:(d + 1) * cout]
         return acc.reshape(m, cout)
+    cout = w3.shape[-1]
+    ypad = jnp.pad(y2.reshape(b, h, w, cb), ((0, 0), (1, 1), (1, 1), (0, 0)))
     if mode == "onedot":
         taps = jnp.concatenate(
             [ypad[:, dy:dy + h, dx:dx + w, :].reshape(m, cb)
@@ -279,7 +294,7 @@ def fused_hourglass_infer(
         add(wset["vec_b"].astype(jnp.float32), full)
         add(wset["w_b"][0, 0].astype(dtype) if wset["w_b"].ndim == 4 else wset["w_b"].astype(dtype), full)
         add(wset["vec2"].astype(jnp.float32), full)
-        add(wset["w3"].astype(dtype), full)
+        add(pack_w3(wset["w3"]).astype(dtype), full)
         add(wset["vec_a"].astype(jnp.float32), full)
         add(wset["w_a"][0, 0].astype(dtype) if wset["w_a"].ndim == 4 else wset["w_a"].astype(dtype), full)
         if "w_s" in wset:

@@ -27,6 +27,7 @@ from cunet_tpu.kernels.fused_hourglass import (
     _bottleneck_val,
     _maxpool2,
     _upsample2,
+    pack_w3,
 )
 
 
@@ -183,7 +184,7 @@ def fused_model_infer(
             add(wset["w_b"][0, 0].astype(dtype) if wset["w_b"].ndim == 4
                 else wset["w_b"].astype(dtype))
             add(wset["vec2"].astype(jnp.float32))
-            add(wset["w3"].astype(dtype))
+            add(pack_w3(wset["w3"]).astype(dtype))
             add(wset["vec_a"].astype(jnp.float32))
             add(wset["w_a"][0, 0].astype(dtype) if wset["w_a"].ndim == 4
                 else wset["w_a"].astype(dtype))
@@ -391,7 +392,7 @@ def default_batch_tile(n: int, h0: int, layer_num: int) -> int:
         if n % bt:
             raise ValueError(f"batch {n} not divisible by batch tile {bt}")
         return bt
-    budget = 4 if h0 >= 64 else 8
+    budget = 2 if h0 >= 64 else 8
     bt = 1
     for cand in (2, 4, 8):
         if cand <= budget and n % cand == 0:
@@ -447,7 +448,7 @@ def fused_model_loop_infer(
         add(wset["vec_b"].astype(jnp.float32))
         add(conv2d_mat(wset["w_b"]))
         add(wset["vec2"].astype(jnp.float32))
-        add(wset["w3"].astype(dtype))
+        add(pack_w3(wset["w3"]).astype(dtype))
         add(wset["vec_a"].astype(jnp.float32))
         add(conv2d_mat(wset["w_a"]))
         if "w_s" in wset:
@@ -480,7 +481,8 @@ def fused_model_loop_infer(
                 if k.startswith("vec"):
                     add(jnp.stack([sa["blocks"][pos][k] for sa in steady]).astype(jnp.float32))
                 elif k == "w3":
-                    add(jnp.stack([sa["blocks"][pos][k] for sa in steady]).astype(dtype))
+                    add(jnp.stack([pack_w3(sa["blocks"][pos][k])
+                                   for sa in steady]).astype(dtype))
                 else:
                     add(jnp.stack([conv2d_mat(sa["blocks"][pos][k]) for sa in steady]))
         add(jnp.stack([sa["head"][0] for sa in steady]).astype(jnp.float32))

@@ -115,18 +115,49 @@ def _bottleneck_val(x_cat, vec, w, dtype):
     )
 
 
+# Perf-diagnosis ablations (WRONG RESULTS — dev only): comma list in
+# CUNET_ABLATE of {conv, bottleneck, adapters, skipad, concat}. Each drops a
+# stage while preserving all shapes so the rest of the kernel times the same.
+_ABLATE = frozenset(
+    a for a in os.environ.get("CUNET_ABLATE", "").split(",") if a
+)
+
+
 def _block_stage(x_cat, wset, h, w, dtype, b=1):
     """One dense block on VMEM values (``b`` images flattened together).
     wset: dict of loaded weight arrays. Returns (ahead, skip_or_None,
     layer_out) as (b*h*w, C) fp32/bf16 values."""
-    yb = _bottleneck_val(x_cat, wset["vec_b"], wset["w_b"], dtype)
+    m = b * h * w
+    cb = wset["w_b"].shape[-1]
+    if "bottleneck" in _ABLATE:
+        yb = jnp.broadcast_to(x_cat[:, :1], (m, cb)).astype(jnp.float32)
+    else:
+        yb = _bottleneck_val(x_cat, wset["vec_b"], wset["w_b"], dtype)
     y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :], 0.0).astype(dtype)
-    out32 = _conv3x3(y2, wset["w3"], b, h, w).astype(dtype)
-    x2 = jnp.concatenate([x_cat, out32], axis=-1)
-    ahead = _bottleneck_val(x2, wset["vec_a"], wset["w_a"], dtype).astype(dtype)
+    g = wset["w3"].shape[-1] // (9 if wset["w3"].ndim == 2 else 1)
+    if "conv" in _ABLATE:
+        out32 = y2[:, :g]
+    else:
+        out32 = _conv3x3(y2, wset["w3"], b, h, w).astype(dtype)
+    if "concat" in _ABLATE:
+        x2 = x_cat  # shapes differ: pair with weight row slice below
+    else:
+        x2 = jnp.concatenate([x_cat, out32], axis=-1)
+    wa = wset["w_a"][: x2.shape[-1]]
+    if "adapters" in _ABLATE:
+        ahead = x2[:, : wa.shape[-1]].astype(dtype)
+    else:
+        ahead = _bottleneck_val(x2, wset["vec_a"][:, : x2.shape[-1]], wa,
+                                dtype).astype(dtype)
     skip = None
     if "w_s" in wset:
-        skip = _bottleneck_val(x2, wset["vec_s"], wset["w_s"], dtype).astype(dtype)
+        if "adapters" in _ABLATE or "skipad" in _ABLATE:
+            skip = ahead
+        else:
+            skip = _bottleneck_val(
+                x2, wset["vec_s"][:, : x2.shape[-1]],
+                wset["w_s"][: x2.shape[-1]], dtype
+            ).astype(dtype)
     return ahead, skip, out32
 
 

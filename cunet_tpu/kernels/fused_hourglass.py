@@ -102,7 +102,9 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
 
 def _bottleneck_val(x_cat, vec, w, dtype):
     """relu(x*inv + shift) @ w on a concatenated (m, Cin) value."""
-    if _BF16_PROLOGUE and dtype == jnp.bfloat16:
+    if "affine" in _ABLATE:
+        y = x_cat
+    elif _BF16_PROLOGUE and dtype == jnp.bfloat16:
         y = jnp.maximum(
             x_cat.astype(dtype) * vec[0, :].astype(dtype)
             + vec[1, :].astype(dtype), 0,

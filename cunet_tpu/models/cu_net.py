@@ -889,9 +889,14 @@ def _fused_model_eval(params, state, y_stem, *, cfg):
             p["head"]["conv"],
         )
         slot_args.append({"inter": inter, "blocks": blocks, "head": head})
-    from cunet_tpu.kernels.fused_model import fused_model_loop_infer
+    import os
 
-    stacked = fused_model_loop_infer(
+    if os.environ.get("CUNET_TERA_IMPL", "buf") == "buf":
+        from cunet_tpu.kernels.fused_model_buf import fused_model_buf_infer as impl
+    else:
+        from cunet_tpu.kernels.fused_model import fused_model_loop_infer as impl
+
+    stacked = impl(
         y_stem, slot_args,
         num_blocks=nb, layer_num=cfg.layer_num, order=cfg.order,
         class_num=cfg.class_num,

@@ -136,15 +136,20 @@ class TestFusedScanModel:
 
 
 class TestFusedWholeModel:
+    @pytest.mark.parametrize("impl", ["loop", "buf"])
     @pytest.mark.parametrize("order,loss", [(1, 2), (2, 5), (0, 2)])
-    def test_tera_kernel_matches_lax(self, monkeypatch, order, loss):
+    def test_tera_kernel_matches_lax(self, monkeypatch, order, loss, impl):
         import cunet_tpu.kernels.fused_model as fm
+        import cunet_tpu.kernels.fused_model_buf as fmb
         from cunet_tpu.config import ModelConfig
         from cunet_tpu.models import apply_cu_net, init_cu_net
 
-        for name in ["fused_model_infer", "fused_model_loop_infer"]:
-            orig = getattr(fm, name)
-            monkeypatch.setattr(fm, name,
+        monkeypatch.setenv("CUNET_TERA_IMPL", impl)
+        for mod, name in [(fm, "fused_model_infer"),
+                          (fm, "fused_model_loop_infer"),
+                          (fmb, "fused_model_buf_infer")]:
+            orig = getattr(mod, name)
+            monkeypatch.setattr(mod, name,
                                 lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
         SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
                      class_num=4, num_blocks=2)

@@ -137,7 +137,7 @@ class TestFusedScanModel:
 
 class TestFusedWholeModel:
     @pytest.mark.parametrize("impl", ["loop", "buf"])
-    @pytest.mark.parametrize("order,loss", [(1, 2), (2, 5), (0, 2)])
+    @pytest.mark.parametrize("order,loss", [(1, 2), (2, 5), (0, 2), (3, 6)])
     def test_tera_kernel_matches_lax(self, monkeypatch, order, loss, impl):
         import cunet_tpu.kernels.fused_model as fm
         import cunet_tpu.kernels.fused_model_buf as fmb
@@ -153,7 +153,7 @@ class TestFusedWholeModel:
                                 lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
         SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
                      class_num=4, num_blocks=2)
-        K = 5 if loss == 5 else 4
+        K = {2: 4, 5: 5, 6: 6}[loss]
         cfg_p = ModelConfig(layer_num=K, order=order, loss_num=loss,
                             use_pallas=True, pallas_whole_model=True, **SMALL)
         cfg_l = ModelConfig(layer_num=K, order=order, loss_num=loss,

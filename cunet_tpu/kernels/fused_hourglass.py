@@ -65,10 +65,12 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
         # t[p, (dy,dx)*G:c] = y2[p] @ w3[dy,dx]; out[o] = sum_d t[o+d-1, d]
         assert w3.ndim == 2, "scatter mode needs the host-packed (Cb, 9G) weight"
         cout = w3.shape[-1] // 9
+        # the per-tap matrix t is the kernel's largest transient; keep it in
+        # the compute dtype (bf16 halves it) and accumulate the 9 taps in f32
         t = jax.lax.dot_general(
             y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
             preferred_element_type=jnp.float32,
-        )
+        ).astype(y2.dtype)
         tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
                      ((0, 0), (1, 1), (1, 1), (0, 0)))
         acc = jnp.zeros((b, h, w, cout), jnp.float32)
@@ -76,7 +78,7 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
             for dx in range(3):
                 d = dy * 3 + dx
                 acc = acc + tp[:, dy:dy + h, dx:dx + w,
-                               d * cout:(d + 1) * cout]
+                               d * cout:(d + 1) * cout].astype(jnp.float32)
         return acc.reshape(m, cout)
     cout = w3.shape[-1]
     ypad = jnp.pad(y2.reshape(b, h, w, cb), ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -135,7 +137,11 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
         yb = jnp.broadcast_to(x_cat[:, :1], (m, cb)).astype(jnp.float32)
     else:
         yb = _bottleneck_val(x_cat, wset["vec_b"], wset["w_b"], dtype)
-    y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :], 0.0).astype(dtype)
+    if "vec2" in _ABLATE:
+        y2 = yb.astype(dtype)
+    else:
+        y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :],
+                         0.0).astype(dtype)
     g = wset["w3"].shape[-1] // (9 if wset["w3"].ndim == 2 else 1)
     if "conv" in _ABLATE:
         out32 = y2[:, :g]
@@ -165,6 +171,9 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
 
 def _maxpool2(x, h, w, b=1):
     c = x.shape[-1]
+    if "pools" in _ABLATE:  # cheapest shape-preserving stand-in
+        return x.reshape(b, h, w, c)[:, : h // 2, : w // 2, :].reshape(
+            b * (h // 2) * (w // 2), c)
     return jnp.max(
         x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4)
     ).reshape(b * (h // 2) * (w // 2), c)
@@ -172,6 +181,10 @@ def _maxpool2(x, h, w, b=1):
 
 def _upsample2(x, h, w, b=1):
     c = x.shape[-1]
+    if "pools" in _ABLATE:
+        return jnp.pad(x.reshape(b, h, w, c),
+                       ((0, 0), (0, h), (0, w), (0, 0))).reshape(
+            b * (2 * h) * (2 * w), c)
     x = x.reshape(b, h, w, c)
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b * (2 * h) * (2 * w), c)

@@ -140,8 +140,9 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
     if "vec2" in _ABLATE:
         y2 = yb.astype(dtype)
     else:
-        y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :],
-                         0.0).astype(dtype)
+        # vec2's scale is pre-folded into w_b's columns (models/cu_net.py
+        # _hg_wset), so this stage is add+relu only; row 0 is all-ones.
+        y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
     g = wset["w3"].shape[-1] // (9 if wset["w3"].ndim == 2 else 1)
     if "conv" in _ABLATE:
         out32 = y2[:, :g]

@@ -108,8 +108,8 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
             wset = get_wset(pos, has_skip)
             yb = _bottleneck_val(buf[:, :kin], wset["vec_b"][:, :kin],
                                  wset["w_b"][:kin], dtype)
-            y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :],
-                             0.0).astype(dtype)
+            # vec2 scale pre-folded into w_b (models/cu_net.py _hg_wset)
+            y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
             out32 = _conv3x3(y2, wset["w3"], bt, h, w).astype(dtype)
             # out32 goes into its slot right after the *current* fifo tail so
             # the adapter input [0 : kin+g] stays one contiguous slice

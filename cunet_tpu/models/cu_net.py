@@ -583,11 +583,17 @@ def _fused_block_slot(
 
 
 def _hg_wset(bp, bs, skip):
+    # BN2's scale folds into w_b's output columns (the producing 1x1 conv is
+    # linear and y1 has a single consumer), so the kernels' vec2 stage is an
+    # add+relu only — the MXU does the mul for free.
+    vec2 = _fold_bn_vec(bp["layers"]["norm2"], bs["layers"]["norm2"])
+    inv2 = vec2[0]
     d = {
         "vec_b": _fold_bn_vec(bp["layers"]["bottleneck"]["norm"],
                               bs["layers"]["bottleneck"]["norm"]),
-        "w_b": bp["layers"]["bottleneck"]["conv"],
-        "vec2": _fold_bn_vec(bp["layers"]["norm2"], bs["layers"]["norm2"]),
+        "w_b": bp["layers"]["bottleneck"]["conv"]
+        * inv2[None, None, None, :].astype(bp["layers"]["bottleneck"]["conv"].dtype),
+        "vec2": jnp.stack([jnp.ones_like(inv2), vec2[1]]),
         "w3": bp["layers"]["conv2"],
         "vec_a": _fold_bn_vec(bp["adapters_ahead"]["norm"],
                               bs["adapters_ahead"]["norm"]),

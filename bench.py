@@ -113,7 +113,7 @@ def bench_train():
     }))
 
 
-def main(layer_num: int = 8, metric_tag: str = "cu_net8"):
+def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
     cfg = ModelConfig(
         layer_num=layer_num,
         order=1,
@@ -122,13 +122,25 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8"):
         compute_dtype="bfloat16",
         remat="none",
         use_pallas=True,
-        pallas_whole_model=True,  # single-launch forward (loop tera-kernel)
+        pallas_whole_model=True,  # single-launch forward (tera-kernel)
     )
     batch = 256
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
+    quant = None
+    if int8:
+        # the quantized flagship on the int8 MXU (real low-bit inference —
+        # the reference only simulates it, ref:utils/quantize.py:127-149)
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.train.quant_step import quant_eval_params
+
+        quant = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                            int8_infer=True, int8_impl="pallas")
+        params = quant_eval_params(params, quant)
+
     def fwd(params, state, x):
-        outs, _ = apply_cu_net(params, state, x, cfg=cfg, train=False)
+        outs, _ = apply_cu_net(params, state, x, cfg=cfg, train=False,
+                               quant=quant)
         out = outs[-1]
         # scalar pair: (sum, min) lets the host verify finiteness cheaply
         o32 = out.astype(jnp.float32)
@@ -178,5 +190,7 @@ if __name__ == "__main__":
         bench_train()
     elif "--k16" in sys.argv:  # the human flagship (ref:README.md:43)
         main(layer_num=16, metric_tag="cu_net16")
+    elif "--int8" in sys.argv:  # quantized flagship, real int8 MXU execution
+        main(metric_tag="cu_net8_int8", int8=True)
     else:
         main()

@@ -41,6 +41,7 @@ from cunet_tpu.kernels.fused_hourglass import (
     _maxpool2,
     _upsample2,
     pack_w3,
+    pack_w3_scatter,
 )
 from cunet_tpu.kernels.fused_model import default_batch_tile
 
@@ -49,6 +50,30 @@ def _affine_dot(buf, k, vec, w, dtype):
     """relu(buf[:, :k]*inv + shift) @ w — stage input read straight off the
     persistent buffer, no concat."""
     return _bottleneck_val(buf[:, :k], vec[:, :k], w[:k], dtype)
+
+
+def _q8(y, s: float):
+    """WAGE fixed-point activation quantization to int8: round-half-away of
+    clip(y)*S (semantics of ref:utils/quantize.py:33-42; matches
+    kernels.quant_matmul.quantize_activations_i8)."""
+    delta = 1.0 / s
+    yc = jnp.clip(y, -1.0 + delta, 1.0 - delta)
+    return (jnp.sign(yc) * jnp.floor(jnp.abs(yc) * s + 0.5)).astype(jnp.int8)
+
+
+def _affine_dot_i8(x, vec, w_i8, s: float):
+    """relu-affine -> int8 quantize -> INT8 MXU dot -> dequant (fp32).
+
+    The quantized model's 1x1 convs carry {-1,0,+1} weights; on the MXU int8
+    multiplies at 2x bf16 throughput with exact int32 accumulation, so this
+    equals the float fake-quant simulation bit-for-bit."""
+    y = jnp.maximum(x.astype(jnp.float32) * vec[0, :x.shape[-1]]
+                    + vec[1, :x.shape[-1]], 0.0)
+    acc = jax.lax.dot_general(
+        _q8(y, s), w_i8[:x.shape[-1]], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * (1.0 / s)
 
 
 def _model_buf_kernel(meta, *refs):  # noqa: C901
@@ -61,6 +86,9 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
     c = meta["chan"]
     g = meta["growth"]
     dtype = meta["dtype"]
+
+    bits_i = meta["bits_i"]          # None = float mode; else int8 execution
+    s_i8 = None if not bits_i else float(2.0 ** (bits_i - 1))
 
     n_bufs = 2 * nb + 1
     bufs = refs[-(n_bufs + 1):-1]   # down 0..nb-1, neck, up nb-1..0 scratch
@@ -106,21 +134,53 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                 buf[:, :c] = y_val
             kin = base + link * g
             wset = get_wset(pos, has_skip)
-            yb = _bottleneck_val(buf[:, :kin], wset["vec_b"][:, :kin],
-                                 wset["w_b"][:kin], dtype)
-            # vec2 scale pre-folded into w_b (models/cu_net.py _hg_wset)
-            y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
-            out32 = _conv3x3(y2, wset["w3"], bt, h, w).astype(dtype)
+            if s_i8:
+                yb = _affine_dot_i8(buf[:, :kin], wset["vec_b"],
+                                    wset["w_b"], s_i8)
+                # int8 mode keeps BN2's full affine (scale can't fold into
+                # the {-1,0,+1} weights)
+                y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :],
+                                 0.0)
+                # conv2: quantized input (the reference's WIG insertion
+                # point) -> int8 scatter dot -> exact dequant
+                t = jax.lax.dot_general(
+                    _q8(y2, s_i8), wset["w3"], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * (1.0 / s_i8)
+                gch = wset["w3"].shape[-1] // 9
+                tp = jnp.pad(t.reshape(bt, h, w, 9 * gch),
+                             ((0, 0), (1, 1), (1, 1), (0, 0)))
+                acc = jnp.zeros((bt, h, w, gch), jnp.float32)
+                for dy in range(3):
+                    for dx in range(3):
+                        d = dy * 3 + dx
+                        acc = acc + tp[:, dy:dy + h, dx:dx + w,
+                                       d * gch:(d + 1) * gch]
+                out32 = acc.reshape(bt * h * w, gch).astype(dtype)
+            else:
+                yb = _bottleneck_val(buf[:, :kin], wset["vec_b"][:, :kin],
+                                     wset["w_b"][:kin], dtype)
+                # vec2 scale pre-folded into w_b (models/cu_net.py _hg_wset)
+                y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
+                out32 = _conv3x3(y2, wset["w3"], bt, h, w).astype(dtype)
             # out32 goes into its slot right after the *current* fifo tail so
             # the adapter input [0 : kin+g] stays one contiguous slice
             buf[:, kin:kin + g] = out32
             x2k = kin + g
-            ahead = _bottleneck_val(buf[:, :x2k], wset["vec_a"][:, :x2k],
-                                    wset["w_a"][:x2k], dtype).astype(dtype)
-            if has_skip:
-                skip = _bottleneck_val(buf[:, :x2k], wset["vec_s"][:, :x2k],
-                                       wset["w_s"][:x2k], dtype).astype(dtype)
-                skip_to[:, c:2 * c] = skip
+            if s_i8:
+                ahead = _affine_dot_i8(buf[:, :x2k], wset["vec_a"],
+                                       wset["w_a"], s_i8).astype(dtype)
+                if has_skip:
+                    skip = _affine_dot_i8(buf[:, :x2k], wset["vec_s"],
+                                          wset["w_s"], s_i8).astype(dtype)
+                    skip_to[:, c:2 * c] = skip
+            else:
+                ahead = _bottleneck_val(buf[:, :x2k], wset["vec_a"][:, :x2k],
+                                        wset["w_a"][:x2k], dtype).astype(dtype)
+                if has_skip:
+                    skip = _bottleneck_val(buf[:, :x2k], wset["vec_s"][:, :x2k],
+                                           wset["w_s"][:x2k], dtype).astype(dtype)
+                    skip_to[:, c:2 * c] = skip
             # FIFO update (ref:models/cu_net.py:133-137): growth phase keeps
             # out32 where it landed; steady state rotates the g-blocks left
             if i >= order and order > 0:
@@ -149,7 +209,10 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
             y = dense(pos, False, True, h, w, None)
         # ---- head ----
         vec_h, w_h = get_head()
-        hm = _bottleneck_val(y, vec_h, w_h, dtype).astype(dtype)
+        if s_i8:  # quantized head input: WIG insertion point No.2
+            hm = _affine_dot_i8(y, vec_h, w_h, s_i8).astype(dtype)
+        else:
+            hm = _bottleneck_val(y, vec_h, w_h, dtype).astype(dtype)
         # the hourglass output is the NEXT slot's intermedia input
         inter_buf[:, :c] = y
         return y, hm.reshape(bt, h, w, -1)
@@ -219,10 +282,18 @@ def fused_model_buf_infer(
     order: int,
     class_num: int,
     batch_tile: int = 0,
+    quant_bits_i: int = 0,
     interpret: bool = False,
 ):
     """Buffer-resident one-launch full forward. Same contract as
-    ``fused_model.fused_model_loop_infer``: returns (N, K, h0, h0, class)."""
+    ``fused_model.fused_model_loop_infer``: returns (N, K, h0, h0, class).
+
+    ``quant_bits_i > 0`` runs the QUANTIZED model on the int8 MXU: block and
+    head 1x1 convs and the 3x3 convs execute as int8 dots of {-1,0,+1}
+    weights (slot_args must carry ``quant_eval_params`` output) against
+    bits_i-quantized activations; intermedia adapters stay float (excluded
+    from activation quantization, matching the lax int8_infer path exactly).
+    In that mode the wsets must NOT have vec2 folded into w_b."""
     n, h0 = y_stem.shape[0], y_stem.shape[1]
     c = y_stem.shape[-1]
     dtype = y_stem.dtype
@@ -230,6 +301,7 @@ def fused_model_buf_infer(
     S = layer_num - start
     bt = batch_tile or default_batch_tile(n, h0, layer_num)
     g = slot_args[0]["blocks"][0]["w3"].shape[3]
+    i8 = bool(quant_bits_i)
 
     def xspec(a):
         return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
@@ -247,7 +319,15 @@ def fused_model_buf_infer(
         specs.append(full(a))
 
     def conv2d_mat(w):
-        return w[0, 0].astype(dtype) if w.ndim == 4 else w.astype(dtype)
+        w2 = w[0, 0] if w.ndim == 4 else w
+        return jnp.round(w2).astype(jnp.int8) if i8 else w2.astype(dtype)
+
+    def float_mat(w):
+        return (w[0, 0] if w.ndim == 4 else w).astype(dtype)
+
+    def w3_mat(w3):
+        packed = pack_w3_scatter(w3) if i8 else pack_w3(w3)
+        return jnp.round(packed).astype(jnp.int8) if i8 else packed.astype(dtype)
 
     def pad_vec(vec, k):
         return jnp.pad(vec, ((0, 0), (0, k - vec.shape[1])))
@@ -266,7 +346,7 @@ def fused_model_buf_infer(
         add(pad_vec(wset["vec_b"].astype(jnp.float32), kb))
         add(pad_mat(conv2d_mat(wset["w_b"]), kb))
         add(wset["vec2"].astype(jnp.float32))
-        add(pack_w3(wset["w3"]).astype(dtype))
+        add(w3_mat(wset["w3"]))
         add(pad_vec(wset["vec_a"].astype(jnp.float32), kb + g))
         add(pad_mat(conv2d_mat(wset["w_a"]), kb + g))
         if "w_s" in wset:
@@ -279,7 +359,7 @@ def fused_model_buf_infer(
         if i > 0:
             vec, w = sa["inter"]
             add(pad_vec(vec.astype(jnp.float32), ki))
-            add(pad_mat(conv2d_mat(w), ki))
+            add(pad_mat(float_mat(w), ki))
         for pos, wset in enumerate(sa["blocks"]):
             add_wset(wset, pos)
         vec, w = sa["head"]
@@ -290,7 +370,7 @@ def fused_model_buf_infer(
         steady = slot_args[start:]
         add(jnp.stack([pad_vec(sa["inter"][0].astype(jnp.float32), ki)
                        for sa in steady]))
-        add(jnp.stack([pad_mat(conv2d_mat(sa["inter"][1]), ki)
+        add(jnp.stack([pad_mat(float_mat(sa["inter"][1]), ki)
                        for sa in steady]))
         for pos in range(2 * num_blocks + 1):
             kb = kmax(pos)
@@ -306,7 +386,7 @@ def fused_model_buf_infer(
                 elif k == "vec2":
                     add(jnp.stack([v.astype(jnp.float32) for v in vals]))
                 elif k == "w3":
-                    add(jnp.stack([pack_w3(v).astype(dtype) for v in vals]))
+                    add(jnp.stack([w3_mat(v) for v in vals]))
                 elif k == "w_b":
                     add(jnp.stack([pad_mat(conv2d_mat(v), kb) for v in vals]))
                 else:
@@ -329,7 +409,8 @@ def fused_model_buf_infer(
     scratch.append(pltpu.VMEM((bt * h0 * h0, c + order * c), dtype))  # intermedia
 
     meta = dict(num_blocks=num_blocks, layer_num=layer_num, order=order,
-                start=start, h=h0, bt=bt, chan=c, growth=g, dtype=dtype)
+                start=start, h=h0, bt=bt, chan=c, growth=g, dtype=dtype,
+                bits_i=quant_bits_i)
     return pl.pallas_call(
         functools.partial(_model_buf_kernel, meta),
         grid=(n // bt,),

@@ -582,18 +582,22 @@ def _fused_block_slot(
 
 
 
-def _hg_wset(bp, bs, skip):
+def _hg_wset(bp, bs, skip, fold_vec2=True):
     # BN2's scale folds into w_b's output columns (the producing 1x1 conv is
     # linear and y1 has a single consumer), so the kernels' vec2 stage is an
-    # add+relu only — the MXU does the mul for free.
+    # add+relu only — the MXU does the mul for free. The int8 kernel keeps
+    # the full affine instead (its weights must stay {-1,0,+1}).
     vec2 = _fold_bn_vec(bp["layers"]["norm2"], bs["layers"]["norm2"])
     inv2 = vec2[0]
+    w_b = bp["layers"]["bottleneck"]["conv"]
+    if fold_vec2:
+        w_b = w_b * inv2[None, None, None, :].astype(w_b.dtype)
+        vec2 = jnp.stack([jnp.ones_like(inv2), vec2[1]])
     d = {
         "vec_b": _fold_bn_vec(bp["layers"]["bottleneck"]["norm"],
                               bs["layers"]["bottleneck"]["norm"]),
-        "w_b": bp["layers"]["bottleneck"]["conv"]
-        * inv2[None, None, None, :].astype(bp["layers"]["bottleneck"]["conv"].dtype),
-        "vec2": jnp.stack([jnp.ones_like(inv2), vec2[1]]),
+        "w_b": w_b,
+        "vec2": vec2,
         "w3": bp["layers"]["conv2"],
         "vec_a": _fold_bn_vec(bp["adapters_ahead"]["norm"],
                               bs["adapters_ahead"]["norm"]),
@@ -867,20 +871,23 @@ def _set_idx(lst, i, val):
 
 
 
-def _fused_model_eval(params, state, y_stem, *, cfg):
+def _fused_model_eval(params, state, y_stem, *, cfg, quant=None):
     """Single-launch full forward (all K slots in one Pallas program);
-    see cunet_tpu.kernels.fused_model. Returns the anchored head list."""
+    see cunet_tpu.kernels.fused_model. Returns the anchored head list.
+    With ``quant`` (int8_infer), params must be ``quant_eval_params`` output
+    and the int8 buf kernel executes the quantized model on the MXU."""
     nb = cfg.num_blocks
     anchors = cfg.anchors
+    fold = quant is None
     slot_args = []
     for i in range(cfg.layer_num):
         p = _slot_subtree(params, i, cfg)
         s = _slot_subtree(state, i, cfg)
         blocks = (
-            [_hg_wset(p["hg"]["down"][j], s["hg"]["down"][j], True)
+            [_hg_wset(p["hg"]["down"][j], s["hg"]["down"][j], True, fold)
              for j in range(nb)]
-            + [_hg_wset(p["hg"]["neck"], s["hg"]["neck"], False)]
-            + [_hg_wset(p["hg"]["up"][j], s["hg"]["up"][j], False)
+            + [_hg_wset(p["hg"]["neck"], s["hg"]["neck"], False, fold)]
+            + [_hg_wset(p["hg"]["up"][j], s["hg"]["up"][j], False, fold)
                for j in reversed(range(nb))]
         )
         inter = None
@@ -897,6 +904,15 @@ def _fused_model_eval(params, state, y_stem, *, cfg):
         slot_args.append({"inter": inter, "blocks": blocks, "head": head})
     import os
 
+    if quant is not None:
+        from cunet_tpu.kernels.fused_model_buf import fused_model_buf_infer
+
+        stacked = fused_model_buf_infer(
+            y_stem, slot_args,
+            num_blocks=nb, layer_num=cfg.layer_num, order=cfg.order,
+            class_num=cfg.class_num, quant_bits_i=quant.bits_i,
+        )
+        return [stacked[:, a - 1] for a in anchors]
     if os.environ.get("CUNET_TERA_IMPL", "buf") == "buf":
         from cunet_tpu.kernels.fused_model_buf import fused_model_buf_infer as impl
     else:
@@ -940,8 +956,14 @@ def apply_cu_net(
     y = max_pool_2x2(y)
     new_state["stem"] = {"norm": stem_ns}
 
-    if (not train) and cfg.use_pallas and cfg.pallas_whole_model and quant is None:
-        outs = _fused_model_eval(params, state, y, cfg=cfg)
+    int8_whole = (
+        quant is not None and quant.enabled and quant.int8_infer
+        and quant.int8_impl == "pallas"
+    )
+    if (not train) and cfg.use_pallas and cfg.pallas_whole_model \
+            and (quant is None or int8_whole):
+        outs = _fused_model_eval(params, state, y, cfg=cfg,
+                                 quant=quant if int8_whole else None)
         new_state["hg"] = state["hg"]
         new_state["intermedia"] = state["intermedia"]
         new_state["heads"] = state["heads"]

@@ -125,6 +125,38 @@ class TestInt8ModelPath:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=1e-6)
 
+    def test_int8_tera_kernel_matches_lax_int8(self, monkeypatch):
+        """Whole-model int8 buf kernel == the lax int8_infer path: same
+        quantizer insertions, int8 dots exact, intermedia float."""
+        import cunet_tpu.kernels.fused_model_buf as fmb
+        from cunet_tpu.config import ModelConfig, QuantConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+        from cunet_tpu.train.quant_step import quant_eval_params
+
+        orig = fmb.fused_model_buf_infer
+        monkeypatch.setattr(fmb, "fused_model_buf_infer",
+                            lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2, compute_dtype="float32")
+        cfg_p = ModelConfig(layer_num=4, order=1, loss_num=4, use_pallas=True,
+                            pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=1, loss_num=4,
+                            use_pallas=False, use_scan=False, **SMALL)
+        q_pl = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                           int8_infer=True, int8_impl="pallas")
+        q_lx = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True,
+                           int8_infer=True, int8_impl="lax")
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        qp = quant_eval_params(params, q_pl)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(qp, state, x, cfg=cfg_p, train=False, quant=q_pl)
+        out_l, _ = apply_cu_net(qp, state, x, cfg=cfg_l, train=False, quant=q_lx)
+        assert len(out_p) == len(out_l) == 4
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_int8_config_validation(self):
         from cunet_tpu.config import QuantConfig
 

@@ -34,6 +34,11 @@ class TestTwoProcessMultihost:
         # workers set their own platform env (must precede jax import there)
         env = {k: v for k, v in os.environ.items()
                if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        # the workers run with cwd=tests/, so the repo root must be importable
+        root = os.path.dirname(_HERE)
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in (root, env.get("PYTHONPATH")) if p
+        )
         procs = [
             subprocess.Popen(
                 [sys.executable, os.path.join(_HERE, "multihost_worker.py"),

@@ -79,6 +79,11 @@ class ModelConfig:
     use_scan: bool = True            # lax.scan over steady-state U-Net slots
     conv3x3_impl: str = "lax"        # "lax" (conv_general) | "scatter" (fat
                                      # matmul + shifted adds; MXU-friendly N)
+    bn_dtype: str = "float32"        # BN normalize dtype: "float32" (torch
+                                     # parity) | "compute" (flax-style mixed
+                                     # precision: f32 stats, normalize in
+                                     # compute_dtype — halves the train-path
+                                     # elementwise HBM traffic fwd+bwd)
 
     def __post_init__(self):
         if self.order >= self.layer_num:
@@ -90,6 +95,8 @@ class ModelConfig:
             raise ValueError(f"unknown remat policy: {self.remat}")
         if self.conv3x3_impl not in ("lax", "scatter"):
             raise ValueError(f"unknown conv3x3_impl: {self.conv3x3_impl}")
+        if self.bn_dtype not in ("float32", "compute"):
+            raise ValueError(f"unknown bn_dtype: {self.bn_dtype}")
         loss_anchors(self.layer_num, self.loss_num)  # validate
 
     @property

@@ -233,6 +233,11 @@ def _int8_bottleneck_infer(p, s, feats: Sequence[jnp.ndarray], quant):
     return out.reshape(*x.shape[:-1], cout).astype(x.dtype)
 
 
+def _bn_nd(cfg):
+    """BN normalize dtype per config (None = fp32 torch parity)."""
+    return jnp.dtype(cfg.compute_dtype) if cfg.bn_dtype == "compute" else None
+
+
 def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train,
                       quant=None):
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
@@ -245,11 +250,13 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
         # the remat=bottleneck policy)
         out, new_s = dense_bottleneck_train_pallas(list(feats), p, s)
     elif train and cfg.remat == "bottleneck":
-        out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train)
+        out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train,
+                                            norm_dtype=_bn_nd(cfg))
     elif not train and cfg.use_pallas:
         out, new_s = dense_bottleneck_infer_pallas(list(feats), p, s)
     else:
-        out, new_s = dense_bottleneck(list(feats), p, s, train=train)
+        out, new_s = dense_bottleneck(list(feats), p, s, train=train,
+                                      norm_dtype=_bn_nd(cfg))
     return out, {"norm": new_s}
 
 
@@ -267,7 +274,8 @@ def _apply_dense_layer(
             params["bottleneck"], state["bottleneck"], feats, cfg=cfg, train=train,
             quant=quant,
         )
-        y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train)
+        y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train,
+                            norm_dtype=_bn_nd(cfg))
         y = relu(y)
         if quant is not None and quant.enabled and quant.bits_i <= 15:
             from cunet_tpu.quant.wage import quan_input
@@ -437,11 +445,12 @@ def _apply_intermedia(params, state, x, i: int, fifo: List, *, cfg, train):
     return out, new_state, fifo
 
 
-def _apply_head(params, state, y, *, train, quant=None):
+def _apply_head(params, state, y, *, train, quant=None, norm_dtype=None):
     """Head: BN -> ReLU [-> QuanInput] -> 1x1 conv -> class_num heatmaps
     (ref:models/cu_net.py:192-198; quantized insertion point No.2,
     ref:models/cu_net_prev_version_wig.py:277-281)."""
-    z, ns = batch_norm(y, params["norm"], state["norm"], train=train)
+    z, ns = batch_norm(y, params["norm"], state["norm"], train=train,
+                       norm_dtype=norm_dtype)
     z = relu(z)
     if quant is not None and quant.enabled and quant.bits_i <= 15:
         from cunet_tpu.quant.wage import quan_input
@@ -794,7 +803,8 @@ def _apply_slots_scanned(
             new_up.append(s_blk)
         new_up = list(reversed(new_up))
 
-        hm, head_s = _apply_head(p["head"], s["head"], y, train=train, quant=quant)
+        hm, head_s = _apply_head(p["head"], s["head"], y, train=train,
+                                 quant=quant, norm_dtype=_bn_nd(cfg))
 
         new_f = {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up),
                  "intermedia": f_inter}
@@ -951,7 +961,8 @@ def apply_cu_net(
 
     # stem: conv7x7/2 -> BN -> ReLU -> maxpool2 (ref:models/cu_net.py:299-304)
     y = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
-    y, stem_ns = batch_norm(y, params["stem"]["norm"], state["stem"]["norm"], train=train)
+    y, stem_ns = batch_norm(y, params["stem"]["norm"], state["stem"]["norm"],
+                            train=train, norm_dtype=_bn_nd(cfg))
     y = relu(y)
     y = max_pool_2x2(y)
     new_state["stem"] = {"norm": stem_ns}
@@ -1018,7 +1029,8 @@ def apply_cu_net(
             )
         if (i + 1) in anchors:
             hm, head_s = _apply_head(
-                params["heads"][i], state["heads"][i], y, train=train, quant=quant
+                params["heads"][i], state["heads"][i], y, train=train,
+                quant=quant, norm_dtype=_bn_nd(cfg)
             )
             heads_state[i] = head_s
             outs.append(hm)

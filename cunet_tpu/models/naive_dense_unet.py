@@ -43,6 +43,7 @@ class DenseUNetConfig:
     compute_dtype: str = "float32"
     remat: str = "bottleneck"
     use_pallas: bool = False
+    bn_dtype: str = "float32"   # see ModelConfig.bn_dtype
 
     @property
     def bottleneck_chan(self) -> int:

@@ -45,6 +45,7 @@ def dense_bottleneck(
     train: bool,
     eps: float = BN_EPS,
     momentum: float = BN_MOMENTUM,
+    norm_dtype=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """BN -> ReLU -> 1x1 conv over the *virtual* concat of ``features``.
 
@@ -53,6 +54,9 @@ def dense_bottleneck(
       params: ``{'norm': {'scale','bias'} over total channels, 'conv': [1,1,Ctot,Cout]}``.
       state: ``{'mean','var'}`` over total channels.
       train: batch statistics + running-stat update vs. running statistics.
+      norm_dtype: None = normalize in fp32 (torch parity); a narrower dtype
+        does the affine in that dtype (stats stay fp32) — see
+        ops.layers.batch_norm.
 
     Returns ``(out [N,H,W,Cout], new_state)``.
     """
@@ -87,10 +91,14 @@ def dense_bottleneck(
 
     inv = lax.rsqrt(var + eps) * scale
     shift = bias - mean * inv
+    nd = jnp.float32
+    if norm_dtype is not None and jnp.dtype(norm_dtype) != jnp.float32:
+        nd = jnp.dtype(norm_dtype)
+        inv, shift = inv.astype(nd), shift.astype(nd)
 
     acc = jnp.zeros((n, h, wd, cout), dtype=jnp.float32)
     for f, (off, c) in zip(features, offs):
-        y = f.astype(jnp.float32) * inv[off : off + c] + shift[off : off + c]
+        y = f.astype(nd) * inv[off : off + c] + shift[off : off + c]
         y = jnp.maximum(y, 0).astype(out_dtype)
         wk = w[0, 0, off : off + c, :].astype(out_dtype)
         acc = acc + lax.dot_general(

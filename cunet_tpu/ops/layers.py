@@ -55,7 +55,8 @@ def init_bn_state(c: int, dtype=jnp.float32):
 
 
 def batch_norm(
-    x, params, state, *, train: bool, eps: float = BN_EPS, momentum: float = BN_MOMENTUM
+    x, params, state, *, train: bool, eps: float = BN_EPS,
+    momentum: float = BN_MOMENTUM, norm_dtype=None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Functional BatchNorm over NHWC (stats over N,H,W).
 
@@ -65,7 +66,11 @@ def batch_norm(
     ref:models/cu_net_prev_version.py:567-571 — in functional JAX the
     recompute trivially reproduces the same stats).
 
-    Statistics are computed in fp32 regardless of compute dtype.
+    Statistics are always computed in fp32. ``norm_dtype`` controls the
+    normalize/affine arithmetic: None = fp32 (torch parity); a narrower dtype
+    (the model's compute dtype) is flax-style mixed precision that halves the
+    elementwise HBM traffic of the train step's hottest fusions, forward and
+    backward (cfg.bn_dtype="compute").
     """
     scale = params["scale"]
     bias = params["bias"]
@@ -83,7 +88,12 @@ def batch_norm(
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = lax.rsqrt(var + eps) * scale
-    y = (x32 - mean) * inv + bias
+    if norm_dtype is not None and jnp.dtype(norm_dtype) != jnp.float32:
+        nd = jnp.dtype(norm_dtype)
+        shift = (bias - mean * inv).astype(nd)
+        y = x.astype(nd) * inv.astype(nd) + shift
+    else:
+        y = (x32 - mean) * inv + bias
     return y.astype(x.dtype), new_state
 
 

@@ -1,0 +1,87 @@
+"""Capture a jax.profiler trace of the train grad step and print the op-level
+time table (via tensorboard_plugin_profile's xplane converter) so backward
+hotspots are attributable by HLO op category.
+
+Usage: python tools/profile_train.py [--bs 24] [--stage grad|step|fwd]
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=24)
+    ap.add_argument("--stage", default="grad")
+    ap.add_argument("--out", default="/tmp/cunet-prof")
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    from cunet_tpu.config import ModelConfig
+    from cunet_tpu.models import apply_cu_net, init_cu_net
+    from cunet_tpu.train.loss import intermediate_mse
+
+    cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
+                      compute_dtype="bfloat16", remat="bottleneck")
+    bs = args.bs
+    params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+    image = jnp.ones((bs, 256, 256, 3), jnp.bfloat16)
+    target = jnp.zeros((bs, 64, 64, 16), jnp.float32)
+
+    if args.stage == "fwd":
+        @jax.jit
+        def fn(p, s, x, t):
+            outs, ns = apply_cu_net(p, s, x, cfg=cfg, train=True)
+            return jnp.sum(outs[-1].astype(jnp.float32))
+    else:
+        @jax.jit
+        def fn(p, s, x, t):
+            def loss_fn(p):
+                outs, ns = apply_cu_net(p, s, x, cfg=cfg, train=True)
+                return intermediate_mse(outs, t), ns
+            (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            return loss + jnp.sum(g["stem"]["conv"].astype(jnp.float32))
+
+    # warmup/compile
+    assert np.isfinite(float(fn(params, bn, image, target)))
+
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out):
+        for _ in range(3):
+            out = fn(params, bn, image, target)
+        float(out)
+
+    xplanes = glob.glob(os.path.join(args.out, "**", "*.xplane.pb"),
+                        recursive=True)
+    xplanes.sort(key=os.path.getmtime)
+    if not xplanes:
+        print("NO XPLANE CAPTURED")
+        return
+    xp = xplanes[-1]
+    print("xplane:", xp, os.path.getsize(xp), "bytes")
+
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    for tool in ("framework_op_stats^", "op_profile^"):
+        try:
+            data, _ = rtd.xspace_to_tool_data([xp], tool, {})
+            fname = os.path.join(args.out, tool.strip("^") + ".out")
+            if isinstance(data, bytes):
+                open(fname, "wb").write(data)
+            else:
+                open(fname, "w").write(str(data))
+            print("wrote", fname)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tool}: FAILED {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -11,9 +11,12 @@ below the perf record of the round that touched the code last, so a silent
 regression in the hot path fails the smoke rather than shipping.
 """
 
+import os
 import statistics
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,12 @@ Timing is fetch-forced (block_until_ready is a no-op through the axon relay).
 """
 
 import argparse
+import os
 import statistics
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -50,19 +54,46 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--layer_num", type=int, default=8)
     ap.add_argument("--stages", default="fwd_eval,fwd_train,grad,step")
+    ap.add_argument("--pool", default="reduce_window",
+                    choices=["reduce_window", "reshape", "slice"],
+                    help="maxpool impl: reshape = jnp.max over axes (cheap "
+                         "eq-mask VJP); slice = WRONG-NUMERICS stand-in that "
+                         "removes pooling cost entirely (ablation only)")
+    ap.add_argument("--bn", default="float32", choices=["float32", "compute"])
+    ap.add_argument("--noscan", action="store_true")
+    ap.add_argument("--flatten", action="store_true",
+                    help="wrap the optimizer in optax.flatten (single-vector "
+                         "update instead of ~800 per-leaf kernels)")
     args = ap.parse_args()
+
+    if args.pool != "reduce_window":
+        import cunet_tpu.models.cu_net as _cu
+        import cunet_tpu.ops.layers as _layers
+
+        if args.pool == "reshape":
+            def pool(x):
+                n, h, w, c = x.shape
+                return jnp.max(x.reshape(n, h // 2, 2, w // 2, 2, c),
+                               axis=(2, 4))
+        else:
+            def pool(x):
+                return x[:, ::2, ::2, :]
+        _cu.max_pool_2x2 = pool
+        _layers.max_pool_2x2 = pool
 
     cfg = ModelConfig(layer_num=args.layer_num, order=1, class_num=16,
                       loss_num=args.layer_num, compute_dtype=args.dtype,
                       remat=args.remat, use_pallas=args.pallas,
-                      conv3x3_impl=args.conv)
+                      conv3x3_impl=args.conv, bn_dtype=args.bn,
+                      use_scan=not args.noscan)
     bs = args.bs
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     image = jnp.ones((bs, 256, 256, 3), jnp.bfloat16)
     target = jnp.zeros((bs, 64, 64, 16), jnp.float32)
     stages = args.stages.split(",")
     label = (f"bs={bs} conv={args.conv} remat={args.remat} "
-             f"pallas={args.pallas} dtype={args.dtype} K={args.layer_num}")
+             f"pallas={args.pallas} dtype={args.dtype} K={args.layer_num} "
+             f"bn={args.bn} scan={not args.noscan} pool={args.pool}")
     print(f"== {label}")
 
     def report(name, dt):
@@ -97,12 +128,20 @@ def main():
                 outs, ns = apply_cu_net(p, s, x, cfg=cfg, train=True)
                 return intermediate_mse(outs, t), ns
             (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
-            return loss + jnp.sum(g["stem"]["conv"].astype(jnp.float32))
+            # consume EVERY grad leaf or XLA dead-code-eliminates parts of
+            # the backward and the measurement lies
+            tot = sum(jnp.sum(l.astype(jnp.float32))
+                      for l in jax.tree_util.tree_leaves(g))
+            return loss + tot
 
         report("grad", timeit(grad, params, bn, image, target, fetch=float))
 
     if "step" in stages:
         tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
+        if args.flatten:
+            import optax
+
+            tx = optax.flatten(tx)
         state = create_train_state(params, bn, tx)
         batch = {"image": image, "heatmap": target}
         step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))

@@ -84,6 +84,16 @@ class ModelConfig:
                                      # precision: f32 stats, normalize in
                                      # compute_dtype — halves the train-path
                                      # elementwise HBM traffic fwd+bwd)
+    bn_tile: int = 0                 # ghost/per-replica BN: train batch-stat
+                                     # group size in images (0 = whole batch).
+                                     # The reference's DataParallel computes
+                                     # BN per GPU shard (ref:cu-net.py:59 —
+                                     # bs24 on 4 GPUs = stats over 6 images);
+                                     # bn_tile reproduces that semantics and
+                                     # is the stat granularity of the fused
+                                     # train kernels (one grid tile = one
+                                     # stat group). Running stats update with
+                                     # the tile-averaged statistics.
 
     def __post_init__(self):
         if self.order >= self.layer_num:

@@ -245,18 +245,21 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
     s = state["norm"]
     if (not train) and quant is not None and quant.enabled and quant.int8_infer:
         return _int8_bottleneck_infer(p, s, feats, quant), {"norm": s}
-    if train and cfg.use_pallas:
+    if train and cfg.use_pallas and not cfg.bn_tile:
         # fused train kernel: O(1) residuals, recompute backward (subsumes
-        # the remat=bottleneck policy)
+        # the remat=bottleneck policy); ghost-BN (bn_tile) goes through the
+        # lax path or the whole-slot train kernel instead
         out, new_s = dense_bottleneck_train_pallas(list(feats), p, s)
     elif train and cfg.remat == "bottleneck":
         out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train,
-                                            norm_dtype=_bn_nd(cfg))
+                                            norm_dtype=_bn_nd(cfg),
+                                            tile=cfg.bn_tile)
     elif not train and cfg.use_pallas:
         out, new_s = dense_bottleneck_infer_pallas(list(feats), p, s)
     else:
         out, new_s = dense_bottleneck(list(feats), p, s, train=train,
-                                      norm_dtype=_bn_nd(cfg))
+                                      norm_dtype=_bn_nd(cfg),
+                                      tile=cfg.bn_tile)
     return out, {"norm": new_s}
 
 
@@ -275,7 +278,7 @@ def _apply_dense_layer(
             quant=quant,
         )
         y, ns2 = batch_norm(b, params["norm2"], state["norm2"], train=train,
-                            norm_dtype=_bn_nd(cfg))
+                            norm_dtype=_bn_nd(cfg), tile=cfg.bn_tile)
         y = relu(y)
         if quant is not None and quant.enabled and quant.bits_i <= 15:
             from cunet_tpu.quant.wage import quan_input
@@ -445,12 +448,13 @@ def _apply_intermedia(params, state, x, i: int, fifo: List, *, cfg, train):
     return out, new_state, fifo
 
 
-def _apply_head(params, state, y, *, train, quant=None, norm_dtype=None):
+def _apply_head(params, state, y, *, train, quant=None, norm_dtype=None,
+                tile=0):
     """Head: BN -> ReLU [-> QuanInput] -> 1x1 conv -> class_num heatmaps
     (ref:models/cu_net.py:192-198; quantized insertion point No.2,
     ref:models/cu_net_prev_version_wig.py:277-281)."""
     z, ns = batch_norm(y, params["norm"], state["norm"], train=train,
-                       norm_dtype=norm_dtype)
+                       norm_dtype=norm_dtype, tile=tile)
     z = relu(z)
     if quant is not None and quant.enabled and quant.bits_i <= 15:
         from cunet_tpu.quant.wage import quan_input
@@ -804,7 +808,8 @@ def _apply_slots_scanned(
         new_up = list(reversed(new_up))
 
         hm, head_s = _apply_head(p["head"], s["head"], y, train=train,
-                                 quant=quant, norm_dtype=_bn_nd(cfg))
+                                 quant=quant, norm_dtype=_bn_nd(cfg),
+                                 tile=cfg.bn_tile)
 
         new_f = {"down": tuple(f_down), "neck": f_neck, "up": tuple(f_up),
                  "intermedia": f_inter}
@@ -962,7 +967,8 @@ def apply_cu_net(
     # stem: conv7x7/2 -> BN -> ReLU -> maxpool2 (ref:models/cu_net.py:299-304)
     y = conv2d(x, params["stem"]["conv"], stride=2, padding=3)
     y, stem_ns = batch_norm(y, params["stem"]["norm"], state["stem"]["norm"],
-                            train=train, norm_dtype=_bn_nd(cfg))
+                            train=train, norm_dtype=_bn_nd(cfg),
+                            tile=cfg.bn_tile)
     y = relu(y)
     y = max_pool_2x2(y)
     new_state["stem"] = {"norm": stem_ns}
@@ -1030,7 +1036,7 @@ def apply_cu_net(
         if (i + 1) in anchors:
             hm, head_s = _apply_head(
                 params["heads"][i], state["heads"][i], y, train=train,
-                quant=quant, norm_dtype=_bn_nd(cfg)
+                quant=quant, norm_dtype=_bn_nd(cfg), tile=cfg.bn_tile
             )
             heads_state[i] = head_s
             outs.append(hm)

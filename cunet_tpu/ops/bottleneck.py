@@ -46,6 +46,7 @@ def dense_bottleneck(
     eps: float = BN_EPS,
     momentum: float = BN_MOMENTUM,
     norm_dtype=None,
+    tile: int = 0,
 ) -> Tuple[jnp.ndarray, dict]:
     """BN -> ReLU -> 1x1 conv over the *virtual* concat of ``features``.
 
@@ -70,20 +71,30 @@ def dense_bottleneck(
     cout = w.shape[3]
     out_dtype = features[0].dtype
 
+    ghost = bool(train and tile and tile < n)
+    t = n // tile if ghost else 1
+    if ghost:
+        assert n % tile == 0, f"batch {n} not divisible by bn_tile {tile}"
+    stat_axes = (1,) if ghost else (0, 1, 2)
+
     if train:
         # Per-group batch stats == concat batch stats (disjoint channels).
         means, variances = [], []
         for f in features:
             f32 = f.astype(jnp.float32)
-            means.append(jnp.mean(f32, axis=(0, 1, 2)))
-            variances.append(jnp.var(f32, axis=(0, 1, 2)))
-        mean = jnp.concatenate(means)
-        var = jnp.concatenate(variances)
-        cnt = n * h * wd
+            if ghost:
+                f32 = f32.reshape(t, tile * h * wd, f.shape[-1])
+            means.append(jnp.mean(f32, axis=stat_axes))
+            variances.append(jnp.var(f32, axis=stat_axes))
+        mean = jnp.concatenate(means, axis=-1)    # (c,) or (t, c)
+        var = jnp.concatenate(variances, axis=-1)
+        cnt = (tile if ghost else n) * h * wd
         unbiased = var * (cnt / max(cnt - 1, 1))
+        mean_u = jnp.mean(mean, 0) if ghost else mean
+        var_u = jnp.mean(unbiased, 0) if ghost else unbiased
         new_state = {
-            "mean": (1 - momentum) * mean_r + momentum * mean,
-            "var": (1 - momentum) * var_r + momentum * unbiased,
+            "mean": (1 - momentum) * mean_r + momentum * mean_u,
+            "var": (1 - momentum) * var_r + momentum * var_u,
         }
     else:
         mean, var = mean_r, var_r
@@ -98,7 +109,13 @@ def dense_bottleneck(
 
     acc = jnp.zeros((n, h, wd, cout), dtype=jnp.float32)
     for f, (off, c) in zip(features, offs):
-        y = f.astype(nd) * inv[off : off + c] + shift[off : off + c]
+        inv_k = inv[..., off : off + c]
+        shift_k = shift[..., off : off + c]
+        if ghost and train:
+            y = f.astype(nd).reshape(t, tile * h * wd, c) * inv_k[:, None, :] \
+                + shift_k[:, None, :]
+        else:
+            y = f.astype(nd) * inv_k + shift_k
         y = jnp.maximum(y, 0).astype(out_dtype)
         wk = w[0, 0, off : off + c, :].astype(out_dtype)
         acc = acc + lax.dot_general(

@@ -56,7 +56,7 @@ def init_bn_state(c: int, dtype=jnp.float32):
 
 def batch_norm(
     x, params, state, *, train: bool, eps: float = BN_EPS,
-    momentum: float = BN_MOMENTUM, norm_dtype=None,
+    momentum: float = BN_MOMENTUM, norm_dtype=None, tile: int = 0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Functional BatchNorm over NHWC (stats over N,H,W).
 
@@ -71,15 +71,43 @@ def batch_norm(
     (the model's compute dtype) is flax-style mixed precision that halves the
     elementwise HBM traffic of the train step's hottest fusions, forward and
     backward (cfg.bn_dtype="compute").
+
+    ``tile`` > 0 enables ghost/per-replica BN: batch statistics are computed
+    per contiguous group of ``tile`` images (the reference's DataParallel
+    runs BN per GPU shard, ref:cu-net.py:59). Running stats update with the
+    tile-averaged statistics (mean of per-tile means == the global mean;
+    variance is the average of per-tile unbiased variances).
     """
     scale = params["scale"]
     bias = params["bias"]
+    n, h, w, c = x.shape
     x32 = x.astype(jnp.float32)
+    if train and tile and tile < n:
+        assert n % tile == 0, f"batch {n} not divisible by bn_tile {tile}"
+        t = n // tile
+        xt = x32.reshape(t, tile * h * w, c)
+        mean = jnp.mean(xt, axis=1)                      # (t, c)
+        var = jnp.var(xt, axis=1)                        # (t, c)
+        cnt = tile * h * w
+        unbiased = var * (cnt / max(cnt - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * jnp.mean(mean, 0),
+            "var": (1 - momentum) * state["var"] + momentum * jnp.mean(unbiased, 0),
+        }
+        inv = lax.rsqrt(var + eps) * scale               # (t, c)
+        shift = bias - mean * inv                        # (t, c)
+        nd = jnp.float32
+        if norm_dtype is not None and jnp.dtype(norm_dtype) != jnp.float32:
+            nd = jnp.dtype(norm_dtype)
+            inv, shift = inv.astype(nd), shift.astype(nd)
+        y = x.astype(nd).reshape(t, tile * h * w, c) * inv[:, None, :] \
+            + shift[:, None, :]
+        return y.reshape(n, h, w, c).astype(x.dtype), new_state
     if train:
         mean = jnp.mean(x32, axis=(0, 1, 2))
         var = jnp.var(x32, axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = var * (n / max(n - 1, 1))
+        cnt = n * h * w
+        unbiased = var * (cnt / max(cnt - 1, 1))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,

@@ -1,0 +1,951 @@
+"""Pallas TRAIN kernels: one launch per U-Net slot, forward AND backward.
+
+The train step was measured op-count-bound on TPU (see PARITY.md round-2
+training study): the lax path spends ~80% of its time in thousands of tiny
+BN/elementwise/dynamic-slice ops, not in matmuls. These kernels run an
+ENTIRE coupled-U-Net slot — intermedia adapter, 4 down blocks (with pools),
+neck, 4 up blocks (with upsamples), head — as ONE Pallas program for the
+forward and ONE for the backward, with train-mode batch-norm statistics
+computed in VMEM.
+
+Batch statistics are per grid tile (``bn_tile`` images): ghost/per-replica
+BN, the exact semantics of the reference's DataParallel training where every
+BN layer normalizes with its GPU shard's statistics (ref:cu-net.py:59,
+models/cu_net_prev_version.py:607-637). The lax oracle is
+``apply_cu_net`` with ``cfg.bn_tile = bt`` and ``bn_dtype="compute"``,
+asserted in tests/test_train_slot.py.
+
+Backward strategy (the TPU counterpart of the reference's shared-storage
+recompute, ref:models/cu_net_prev_version.py:520-599): the forward saves
+only each block's INPUT (pooled/upsampled activations + skips — the same
+quantities the reference's shared storages hold), the per-tile BN stats,
+and the cross-slot FIFO outputs. The backward walks the slot in reverse,
+recomputing each block's internals from its saved input, so activation
+residuals stay O(block), not O(slot). Weight gradients accumulate in fp32
+across grid steps (the TPU grid is sequential).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cunet_tpu.kernels.fused_hourglass import (
+    _conv3x3,
+    _maxpool2,
+    _upsample2,
+)
+from cunet_tpu.ops.layers import BN_EPS
+
+# ---------------------------------------------------------------------------
+# shared geometry
+# ---------------------------------------------------------------------------
+
+
+def slot_plan(num_blocks: int, h0: int, c: int, g: int, L: int):
+    """Per-position dicts in traversal order (down 0..nb-1, neck, up nb-1..0).
+
+    L = FIFO entry count for this slot (= min(slot_i, order)).
+    """
+    plan = []
+    res = h0
+    for _ in range(num_blocks):
+        plan.append(dict(res=res, base=c, skip=True, k1=c + L * g))
+        res //= 2
+    plan.append(dict(res=res, base=c, skip=False, k1=c + L * g))
+    for _ in range(num_blocks):
+        res *= 2
+        plan.append(dict(res=res, base=2 * c, skip=False, k1=2 * c + L * g))
+    for p in plan:
+        p["k2"] = p["k1"] + g
+    return plan
+
+
+def saved_layout(plan, nb: int, c: int):
+    """(res, chan) of the forward's saved block inputs, in emission order:
+    pooled inputs (down 1..nb-1 + neck), up-block pre-upsample inputs,
+    skips."""
+    pooled = [(plan[j + 1]["res"], c) for j in range(nb)]
+    up_pre = [(plan[nb + 1 + i]["res"] // 2, c) for i in range(nb)]
+    skips = [(plan[j]["res"], c) for j in range(nb)]
+    return pooled, up_pre, skips
+
+
+def _read_wset(nxt, skip):
+    w = {"bn1": nxt()[...], "w_b": nxt()[...], "bn2": nxt()[...],
+         "w3": nxt()[...], "bn_a": nxt()[...], "w_a": nxt()[...]}
+    if skip:
+        w["bn_s"] = nxt()[...]
+        w["w_s"] = nxt()[...]
+    return w
+
+
+def make_meta(cfg, slot_i: int, bt: int) -> Dict:
+    """Static kernel metadata for slot ``slot_i`` (None = steady state)."""
+    L = cfg.order if slot_i is None else min(slot_i, cfg.order)
+    has_inter = slot_i is None or slot_i > 0
+    return dict(
+        num_blocks=cfg.num_blocks,
+        L=L,
+        has_inter=has_inter,
+        bt=bt,
+        chan=cfg.init_chan_num,
+        growth=cfg.growth_rate,
+        cb=cfg.bottleneck_chan,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        eps=BN_EPS,
+    )
+
+
+def finalize_meta(meta: Dict, h0: int) -> Dict:
+    meta = dict(meta, h=h0)
+    meta["plan"] = slot_plan(meta["num_blocks"], h0, meta["chan"],
+                             meta["growth"], meta["L"])
+    return meta
+
+
+def _bn_vec(norm_params):
+    return jnp.stack([norm_params["scale"], norm_params["bias"]])
+
+
+def marshal_slot(p_slot, num_blocks: int) -> Dict:
+    """Kernel weight dict from a ``_slot_subtree`` params view. All ops here
+    are differentiable glue (stack/slice/pack), so grads flow back to the
+    original param pytree through the custom-VJP'd kernel call."""
+    from cunet_tpu.kernels.fused_hourglass import pack_w3_scatter
+
+    def wset(bp):
+        d = {
+            "bn1": _bn_vec(bp["layers"]["bottleneck"]["norm"]),
+            "w_b": bp["layers"]["bottleneck"]["conv"][0, 0],
+            "bn2": _bn_vec(bp["layers"]["norm2"]),
+            "w3": pack_w3_scatter(bp["layers"]["conv2"]),
+            "bn_a": _bn_vec(bp["adapters_ahead"]["norm"]),
+            "w_a": bp["adapters_ahead"]["conv"][0, 0],
+        }
+        if "adapters_skip" in bp:
+            d["bn_s"] = _bn_vec(bp["adapters_skip"]["norm"])
+            d["w_s"] = bp["adapters_skip"]["conv"][0, 0]
+        return d
+
+    hg = p_slot["hg"]
+    blocks = (
+        [wset(hg["down"][j]) for j in range(num_blocks)]
+        + [wset(hg["neck"])]
+        + [wset(hg["up"][j]) for j in reversed(range(num_blocks))]
+    )
+    W = {"blocks": blocks,
+         "head": (_bn_vec(p_slot["head"]["norm"]), p_slot["head"]["conv"][0, 0])}
+    if "inter" in p_slot and p_slot["inter"] is not None:
+        W["inter"] = (_bn_vec(p_slot["inter"]["norm"]),
+                      p_slot["inter"]["conv"][0, 0])
+    return W
+
+
+def _dot(a, b, dtype):
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _stats(x):
+    """Per-tile biased batch stats of a (m, C) value, fp32."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=0)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=0)
+    return mu, var
+
+
+def _norm_relu(x, bn, mu, var, dtype, eps):
+    """relu(batchnorm(x)) with given stats, normalize in compute dtype
+    (bn_dtype="compute" semantics: z = x*inv + shift)."""
+    inv = jax.lax.rsqrt(var + eps) * bn[0]
+    shift = bn[1] - mu * inv
+    return jnp.maximum(
+        x.astype(dtype) * inv.astype(dtype) + shift.astype(dtype), 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _slot_fwd_kernel(meta, *refs):  # noqa: C901
+    nb = meta["num_blocks"]
+    L = meta["L"]
+    has_inter = meta["has_inter"]
+    h0 = meta["h"]
+    bt = meta["bt"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+
+    it = iter(refs)
+    nxt = lambda: next(it)
+
+    def flat(ref):
+        v = ref[...]
+        return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
+
+    y = flat(nxt())  # (bt*h0*h0, c)
+
+    stat_writes: List = []
+
+    def stage(x_cat, bn, w):
+        mu, var = _stats(x_cat)
+        stat_writes.append(jnp.stack([mu, var]))
+        z = _norm_relu(x_cat, bn, mu, var, dtype, eps)
+        return _dot(z, w, dtype)
+
+    # ---- intermedia ----
+    inter_out_val = None
+    if has_inter:
+        inter_fifo = [flat(nxt()) for _ in range(L)]
+        bn_i, w_i = nxt()[...], nxt()[...]
+        x_cat = jnp.concatenate([y] + inter_fifo, axis=-1)
+        y = stage(x_cat, bn_i, w_i).astype(dtype)
+        inter_out_val = y
+
+    def block(x_parts, fifo_vals, wset, h, w):
+        x_cat = jnp.concatenate(list(x_parts) + list(fifo_vals), axis=-1)
+        yb = stage(x_cat, wset["bn1"], wset["w_b"]).astype(dtype)
+        mu2, var2 = _stats(yb)
+        stat_writes.append(jnp.stack([mu2, var2]))
+        z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+        out32 = _conv3x3(z2, wset["w3"], bt, h, w, mode="scatter").astype(dtype)
+        x2 = jnp.concatenate([x_cat, out32], axis=-1)
+        ahead = stage(x2, wset["bn_a"], wset["w_a"]).astype(dtype)
+        skip = None
+        if "bn_s" in wset:
+            skip = stage(x2, wset["bn_s"], wset["w_s"]).astype(dtype)
+        return ahead, skip, out32
+
+    # ---- traversal ----
+    out32_vals: List = []
+    skips: List = []
+    pooled_vals: List = []   # inputs of down 1..nb-1 and the neck
+    up_pre_vals: List = []   # inputs of up blocks, pre-upsample
+    h = w = h0
+    for j in range(nb):
+        fifo = [flat(nxt()) for _ in range(L)]
+        wset = _read_wset(nxt, True)
+        ahead, skip, o32 = block([y], fifo, wset, h, w)
+        out32_vals.append((o32, h))
+        skips.append((skip, h))
+        y = _maxpool2(ahead, h, w, bt)
+        h, w = h // 2, w // 2
+        pooled_vals.append((y, h))
+    fifo = [flat(nxt()) for _ in range(L)]
+    wset = _read_wset(nxt, False)
+    ahead, _, o32 = block([y], fifo, wset, h, w)
+    out32_vals.append((o32, h))
+    y = ahead
+    for idx, j in enumerate(reversed(range(nb))):
+        up_pre_vals.append((y, h))
+        up = _upsample2(y, h, w, bt)
+        h, w = h * 2, w * 2
+        fifo = [flat(nxt()) for _ in range(L)]
+        wset = _read_wset(nxt, False)
+        ahead, _, o32 = block([up, skips[j][0]], fifo, wset, h, w)
+        out32_vals.append((o32, h))
+        y = ahead
+
+    # ---- head ----
+    bn_h, w_h = nxt()[...], nxt()[...]
+    mu_h, var_h = _stats(y)
+    stat_writes.append(jnp.stack([mu_h, var_h]))
+    z_h = _norm_relu(y, bn_h, mu_h, var_h, dtype, eps)
+    hm = _dot(z_h, w_h, dtype).astype(dtype)
+
+    # ---- outputs ----
+    def write(ref, val, hh):
+        ref[...] = val.reshape(bt, hh, hh, -1)
+
+    write(nxt(), y, h0)                        # y_out
+    write(nxt(), hm, h0)                       # head
+    if has_inter:
+        write(nxt(), inter_out_val, h0)        # inter_out
+    for o32, hh in out32_vals:
+        write(nxt(), o32, hh)
+    for pv, hh in pooled_vals:
+        write(nxt(), pv, hh)
+    for uv, hh in up_pre_vals:
+        write(nxt(), uv, hh)
+    for sv, hh in skips:
+        write(nxt(), sv, hh)
+    for sw in stat_writes:
+        nxt()[0] = sw                          # (1, 2, C) tile block
+
+
+def _marshal_inputs(meta, y, inter_fifo, fifos, W):
+    """Argument list + in_specs shared by the fwd and bwd pallas calls."""
+    nb = meta["num_blocks"]
+    L = meta["L"]
+    has_inter = meta["has_inter"]
+    bt = meta["bt"]
+    dtype = meta["dtype"]
+    plan = meta["plan"]
+
+    def xspec(a):
+        return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
+
+    args: List = [y.astype(dtype)]
+    specs: List = [xspec(y)]
+
+    def add(a, spec):
+        args.append(a)
+        specs.append(spec(a))
+
+    if has_inter:
+        for f in inter_fifo:
+            add(f.astype(dtype), xspec)
+        bn, wgt = W["inter"]
+        add(bn.astype(jnp.float32), full)
+        add(wgt.astype(dtype), full)
+    for pos, p in enumerate(plan):
+        for f in fifos[pos]:
+            add(f.astype(dtype), xspec)
+        wset = W["blocks"][pos]
+        for k in ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
+            ("bn_s", "w_s") if p["skip"] else ()
+        ):
+            a = wset[k]
+            add(a.astype(jnp.float32 if k.startswith("bn") else dtype), full)
+    bn, wgt = W["head"]
+    add(bn.astype(jnp.float32), full)
+    add(wgt.astype(dtype), full)
+    return args, specs
+
+
+def _stat_widths(meta, W):
+    """Per-tile stat channel widths in kernel emission order."""
+    plan = meta["plan"]
+    cb = meta["cb"]
+    widths = []
+    if meta["has_inter"]:
+        widths.append(W["inter"][0].shape[-1])
+    for p in plan:
+        widths.append(p["k1"])
+        widths.append(cb)
+        widths.append(p["k2"])
+        if p["skip"]:
+            widths.append(p["k2"])
+    widths.append(W["head"][0].shape[-1])
+    return widths
+
+
+def slot_train_fwd(
+    y: jnp.ndarray,
+    inter_fifo: Sequence[jnp.ndarray],
+    fifos: Sequence[Sequence[jnp.ndarray]],
+    W: Dict,
+    *,
+    meta: Dict,
+    interpret: bool = False,
+):
+    """One-launch train forward for a slot.
+
+    Returns (y_out, head, inter_out|None, out32s, saved) where ``saved`` =
+    dict(pooled=[...], up_pre=[...], skips=[...], stats=[...(T,2,C) f32]).
+    """
+    nb = meta["num_blocks"]
+    h0 = meta["h"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    g = meta["growth"]
+    dtype = meta["dtype"]
+    plan = meta["plan"]
+    n = y.shape[0]
+    T = n // bt
+    cls = W["head"][1].shape[-1]
+
+    args, specs = _marshal_inputs(meta, y, inter_fifo, fifos, W)
+
+    out_shapes: List = []
+    out_specs: List = []
+
+    def out(hh, ch):
+        out_shapes.append(jax.ShapeDtypeStruct((n, hh, hh, ch), dtype))
+        out_specs.append(
+            pl.BlockSpec((bt, hh, hh, ch), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    def out_stat(ch):
+        out_shapes.append(jax.ShapeDtypeStruct((T, 2, ch), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 2, ch), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    out(h0, c)                          # y_out
+    out(h0, cls)                        # head
+    if meta["has_inter"]:
+        out(h0, c)                      # inter_out
+    for p in plan:
+        out(p["res"], g)                # out32
+    pooled_l, up_pre_l, skips_l = saved_layout(plan, nb, c)
+    for hh, ch in pooled_l + up_pre_l + skips_l:
+        out(hh, ch)
+    widths = _stat_widths(meta, W)
+    for ch in widths:
+        out_stat(ch)
+
+    outs = pl.pallas_call(
+        functools.partial(_slot_fwd_kernel, meta),
+        grid=(T,),
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    outs = list(outs)
+    y_out = outs.pop(0)
+    head = outs.pop(0)
+    inter_out = outs.pop(0) if meta["has_inter"] else None
+    n_pos = len(plan)
+    out32s = [outs.pop(0) for _ in range(n_pos)]
+    saved = {
+        "pooled": [outs.pop(0) for _ in range(nb)],
+        "up_pre": [outs.pop(0) for _ in range(nb)],
+        "skips": [outs.pop(0) for _ in range(nb)],
+        "stats": [outs.pop(0) for _ in range(len(widths))],
+    }
+    assert not outs
+    return y_out, head, inter_out, out32s, saved
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _dot_dx(d_out, w, dtype):
+    """d_x of ``out = x @ w``: contract the output channel."""
+    return jax.lax.dot_general(
+        d_out.astype(dtype), w.astype(dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_dw(x, d_out, dtype):
+    """dW of ``out = x @ w``: contract the rows."""
+    return jax.lax.dot_general(
+        x.astype(dtype), d_out.astype(dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _affine_bwd(x, bn, mu, var, d_z, dtype, eps):
+    """Backward through ``z = relu(batchnorm_train(x))`` given d_z (fp32).
+
+    Ghost BN: stats are functions of this tile's x, so the full batch-norm
+    jacobian (mean-subtraction terms) applies within the tile.
+    Returns (d_x fp32, d_bn (2,C) [d_gamma; d_beta] fp32).
+    """
+    inv = jax.lax.rsqrt(var + eps)
+    ig = inv * bn[0]
+    shift = bn[1] - mu * ig
+    a = x.astype(dtype) * ig.astype(dtype) + shift.astype(dtype)
+    d_a = jnp.where(a > 0, d_z, 0.0)
+    xh = (x.astype(jnp.float32) - mu) * inv
+    d_beta = jnp.sum(d_a, axis=0)
+    d_gamma = jnp.sum(d_a * xh, axis=0)
+    d_xh = d_a * bn[0]
+    d_x = inv * (d_xh - jnp.mean(d_xh, axis=0)
+                 - xh * jnp.mean(d_xh * xh, axis=0))
+    return d_x, jnp.stack([d_gamma, d_beta])
+
+
+def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
+    """Backward through ``out = relu(batchnorm(x)) @ w``.
+
+    Returns (d_x fp32, dW fp32, d_bn fp32)."""
+    inv = jax.lax.rsqrt(var + eps)
+    ig = inv * bn[0]
+    shift = bn[1] - mu * ig
+    z = jnp.maximum(x.astype(dtype) * ig.astype(dtype)
+                    + shift.astype(dtype), 0)
+    dW = _dot_dw(z, d_out, dtype)
+    d_z = _dot_dx(d_out, w, dtype)
+    d_x, d_bn = _affine_bwd(x, bn, mu, var, d_z, dtype, eps)
+    return d_x, dW, d_bn
+
+
+def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
+    """Backward of the scatter-form 3x3 conv (host-packed (Cb, 9G) weight).
+
+    d_t's tap-d slice is d_out shifted by (1-dy, 1-dx) with zero borders.
+    Returns (d_z2 fp32 (m, Cb), dW3 fp32 (Cb, 9G))."""
+    g = w3p.shape[-1] // 9
+    m = bt * h * w
+    d_p = jnp.pad(d_out32.astype(dtype).reshape(bt, h, w, g),
+                  ((0, 0), (1, 1), (1, 1), (0, 0)))
+    d_t = jnp.concatenate(
+        [d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :]
+         for dy in range(3) for dx in range(3)], axis=-1,
+    ).reshape(m, 9 * g)
+    d_z2 = _dot_dx(d_t, w3p, dtype)
+    dW3 = _dot_dw(z2, d_t, dtype)
+    return d_z2, dW3
+
+
+def _pool_bwd(d_pooled, ahead, pooled, h, w, bt):
+    """Backward of 2x2 maxpool: gradient to every element equal to the
+    window max (jnp.max semantics; ties are measure-zero for matmul
+    outputs)."""
+    up_p = _upsample2(pooled, h // 2, w // 2, bt)
+    up_d = _upsample2(d_pooled.astype(jnp.float32), h // 2, w // 2, bt)
+    return jnp.where(ahead == up_p, up_d, 0.0)
+
+
+def _upsample_bwd(d_up, h, w, bt, c):
+    """Backward of nearest 2x upsample at LOW res (h, w): sum the 2x2
+    replicas of the HIGH-res cotangent."""
+    d = d_up.reshape(bt, h * 2, w * 2, c).reshape(bt, h, 2, w, 2, c)
+    return jnp.sum(d.astype(jnp.float32), axis=(2, 4)).reshape(bt * h * w, c)
+
+
+def _slot_bwd_kernel(meta, *refs):  # noqa: C901
+    nb = meta["num_blocks"]
+    L = meta["L"]
+    has_inter = meta["has_inter"]
+    h0 = meta["h"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    plan = meta["plan"]
+
+    it = iter(refs)
+    nxt = lambda: next(it)
+
+    def flat(ref):
+        v = ref[...]
+        return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
+
+    # ---- inputs (same order as forward marshaling) ----
+    y = flat(nxt())
+    inter_fifo, inter_w = [], None
+    if has_inter:
+        inter_fifo = [flat(nxt()) for _ in range(L)]
+        bn_i, w_i = nxt()[...], nxt()[...]
+    fifo_vals: List = []
+    wsets: List = []
+    for p in plan:
+        fifo_vals.append([flat(nxt()) for _ in range(L)])
+        wsets.append(_read_wset(nxt, p["skip"]))
+    bn_h, w_h = nxt()[...], nxt()[...]
+
+    pooled = [flat(nxt()) for _ in range(nb)]
+    up_pre = [flat(nxt()) for _ in range(nb)]
+    skips = [flat(nxt()) for _ in range(nb)]
+
+    # per-tile stats, in forward emission order
+    n_stats = (1 if has_inter else 0) + sum(4 if p["skip"] else 3
+                                            for p in plan) + 1
+    stats = [nxt()[0] for _ in range(n_stats)]  # (2, C) values
+
+    d_y_out = flat(nxt())
+    d_head = flat(nxt())
+    d_inter_out = flat(nxt()) if has_inter else None
+    d_out32_ext = [flat(nxt()) for _ in plan]
+
+    # ---- outputs ----
+    d_y_ref = nxt()
+    d_inter_fifo_refs = [nxt() for _ in range(L)] if has_inter else []
+    d_fifo_refs = [[nxt() for _ in range(L)] for _ in plan]
+    dW_refs: Dict = {}
+    if has_inter:
+        dW_refs["inter"] = (nxt(), nxt())
+    dW_refs["blocks"] = []
+    for p in plan:
+        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
+            ("bn_s", "w_s") if p["skip"] else ())
+        dW_refs["blocks"].append({k: nxt() for k in keys})
+    dW_refs["head"] = (nxt(), nxt())
+
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+        ref[...] += val.astype(jnp.float32)
+
+    # stat index per position: [inter] + per pos (s1, s2, sa[, ss])
+    si = 1 if has_inter else 0
+    stat_idx = []
+    for p in plan:
+        idx = {"s1": si, "s2": si + 1, "sa": si + 2}
+        si += 3
+        if p["skip"]:
+            idx["ss"] = si
+            si += 1
+        stat_idx.append(idx)
+    head_stat = stats[si]
+
+    # ---- recompute the intermedia output (input of down block 0) ----
+    if has_inter:
+        x_cat_i = jnp.concatenate([y] + inter_fifo, axis=-1)
+        mu_i, var_i = stats[0][0], stats[0][1]
+        z_i = _norm_relu(x_cat_i, bn_i, mu_i, var_i, dtype, eps)
+        y2 = _dot(z_i, w_i, dtype).astype(dtype)
+    else:
+        y2 = y
+
+    def block_input(pos):
+        if pos == 0:
+            return [y2]
+        if pos <= nb:
+            return [pooled[pos - 1]]
+        idx = pos - (nb + 1)
+        j = nb - 1 - idx
+        h = plan[pos]["res"]
+        return [_upsample2(up_pre[idx], h // 2, h // 2, bt), skips[j]]
+
+    def block_bwd(pos, d_ahead, d_skip):
+        """Recompute block ``pos`` internals and backprop. Returns d_x_cat
+        (fp32, split by the caller)."""
+        p = plan[pos]
+        h = p["res"]
+        wset = wsets[pos]
+        sidx = stat_idx[pos]
+        x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
+        mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
+        z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
+        yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+        mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
+        z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+        # adapters backward
+        out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+        x2 = jnp.concatenate([x_cat, out32], axis=-1)
+        mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
+        d_x2, dW_a, dbn_a = _stage_bwd(x2, wset["bn_a"], wset["w_a"],
+                                       mua, vara, d_ahead, dtype, eps)
+        acc(dW_refs["blocks"][pos]["w_a"], dW_a)
+        acc(dW_refs["blocks"][pos]["bn_a"], dbn_a)
+        if d_skip is not None:
+            mus, vars_ = stats[sidx["ss"]][0], stats[sidx["ss"]][1]
+            d_x2s, dW_s, dbn_s = _stage_bwd(x2, wset["bn_s"], wset["w_s"],
+                                            mus, vars_, d_skip, dtype, eps)
+            d_x2 = d_x2 + d_x2s
+            acc(dW_refs["blocks"][pos]["w_s"], dW_s)
+            acc(dW_refs["blocks"][pos]["bn_s"], dbn_s)
+        k1 = p["k1"]
+        d_x_cat = d_x2[:, :k1]
+        d_out32 = d_x2[:, k1:] + d_out32_ext[pos].astype(jnp.float32)
+        # 3x3 conv backward
+        d_z2, dW3 = _conv3x3_bwd(z2, wset["w3"], d_out32, bt, h, h, dtype)
+        acc(dW_refs["blocks"][pos]["w3"], dW3)
+        # bn2 backward
+        d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps)
+        acc(dW_refs["blocks"][pos]["bn2"], dbn2)
+        # bottleneck dot + bn1 backward
+        dW_b = _dot_dw(z1, d_yb, dtype)
+        d_z1 = _dot_dx(d_yb, wset["w_b"], dtype)
+        d_x1, dbn1 = _affine_bwd(x_cat, wset["bn1"], mu1, var1, d_z1,
+                                 dtype, eps)
+        acc(dW_refs["blocks"][pos]["w_b"], dW_b)
+        acc(dW_refs["blocks"][pos]["bn1"], dbn1)
+        return d_x_cat + d_x1
+
+    def split_fifo_grads(pos, d_x_cat, base_width):
+        """Write fifo-entry cotangents; return the d of the base part."""
+        off = base_width
+        for li in range(L):
+            g_w = fifo_vals[pos][li].shape[-1]
+            h = plan[pos]["res"]
+            d_fifo_refs[pos][li][...] = (
+                d_x_cat[:, off:off + g_w].astype(dtype)
+                .reshape(bt, h, h, g_w))
+            off += g_w
+        return d_x_cat[:, :base_width]
+
+    # ================= reverse walk =================
+    # --- up path (traversal pos 2nb .. nb+1), block up j = nb-1-idx ---
+    d_y = d_y_out.astype(jnp.float32)
+    d_skip_store = [None] * nb
+    for pos in range(2 * nb, nb, -1):
+        idx = pos - (nb + 1)
+        j = nb - 1 - idx
+        h = plan[pos]["res"]
+        if pos == 2 * nb:
+            # head backward rides the last up block (its input is y_out)
+            x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
+            wset = wsets[pos]
+            sidx = stat_idx[pos]
+            mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
+            z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
+            yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+            mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
+            z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+            out32 = _conv3x3(z2, wset["w3"], bt, h, h,
+                             mode="scatter").astype(dtype)
+            x2 = jnp.concatenate([x_cat, out32], axis=-1)
+            mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
+            inva = jax.lax.rsqrt(vara + eps) * wset["bn_a"][0]
+            shifta = wset["bn_a"][1] - mua * inva
+            y_out_val = _dot(
+                jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
+                            + shifta.astype(dtype), 0),
+                wset["w_a"], dtype).astype(dtype)
+            d_h_in, dW_h, dbn_h = _stage_bwd(
+                y_out_val, bn_h, w_h, head_stat[0], head_stat[1],
+                d_head, dtype, eps)
+            acc(dW_refs["head"][1], dW_h)
+            acc(dW_refs["head"][0], dbn_h)
+            d_y = d_y + d_h_in
+        d_x_cat = block_bwd(pos, d_y, None)
+        d_base = split_fifo_grads(pos, d_x_cat, 2 * c)
+        d_up = d_base[:, :c]
+        d_skip_store[j] = d_base[:, c:2 * c]
+        d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
+
+    # --- neck (pos nb) ---
+    d_x_cat = block_bwd(nb, d_y, None)
+    d_pool = split_fifo_grads(nb, d_x_cat, c)
+
+    # --- down path (pos nb-1 .. 0) ---
+    for pos in range(nb - 1, -1, -1):
+        h = plan[pos]["res"]
+        # recompute this block's ahead for the pool mask
+        # (ahead = pre-pool; pooled[pos] saved)
+        wset = wsets[pos]
+        sidx = stat_idx[pos]
+        x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
+        mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
+        z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
+        yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+        mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
+        z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+        out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+        x2 = jnp.concatenate([x_cat, out32], axis=-1)
+        mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
+        inva = jax.lax.rsqrt(vara + eps) * wset["bn_a"][0]
+        shifta = wset["bn_a"][1] - mua * inva
+        ahead = _dot(
+            jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
+                        + shifta.astype(dtype), 0),
+            wset["w_a"], dtype).astype(dtype)
+        d_ahead = _pool_bwd(d_pool, ahead, pooled[pos], h, h, bt)
+        d_x_cat = block_bwd(pos, d_ahead, d_skip_store[pos])
+        d_pool = split_fifo_grads(pos, d_x_cat, c)
+        # d_pool now holds d of this block's input
+
+    # --- intermedia backward ---
+    if has_inter:
+        d_y2 = d_pool + d_inter_out.astype(jnp.float32)
+        # y2 = relu(norm(x_cat_i)) @ w_i (cast dtype — cast bwd is identity)
+        dW_i = _dot_dw(z_i, d_y2, dtype)
+        d_zi = _dot_dx(d_y2, w_i, dtype)
+        d_xi, dbn_i = _affine_bwd(x_cat_i, bn_i, mu_i, var_i, d_zi,
+                                  dtype, eps)
+        acc(dW_refs["inter"][1], dW_i)
+        acc(dW_refs["inter"][0], dbn_i)
+        d_y_ref[...] = d_xi[:, :c].astype(dtype).reshape(bt, h0, h0, c)
+        off = c
+        for li in range(L):
+            d_inter_fifo_refs[li][...] = (
+                d_xi[:, off:off + c].astype(dtype).reshape(bt, h0, h0, c))
+            off += c
+    else:
+        d_y_ref[...] = d_pool.astype(dtype).reshape(bt, h0, h0, c)
+
+
+def slot_train_bwd(
+    y, inter_fifo, fifos, W, saved, cts, *, meta: Dict, interpret: bool = False,
+):
+    """One-launch train backward. ``cts`` = (d_y_out, d_head, d_inter_out,
+    d_out32s). Returns (d_y, d_inter_fifo, d_fifos, dW) with dW matching W's
+    structure in fp32."""
+    nb = meta["num_blocks"]
+    L = meta["L"]
+    has_inter = meta["has_inter"]
+    h0 = meta["h"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    dtype = meta["dtype"]
+    plan = meta["plan"]
+    n = y.shape[0]
+    T = n // bt
+
+    d_y_out, d_head, d_inter_out, d_out32s = cts
+
+    args, specs = _marshal_inputs(meta, y, inter_fifo, fifos, W)
+
+    def xspec(a):
+        return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def add(a, spec):
+        args.append(a)
+        specs.append(spec(a))
+
+    for a in saved["pooled"] + saved["up_pre"] + saved["skips"]:
+        add(a, xspec)
+    for st in saved["stats"]:
+        add(st, lambda a: pl.BlockSpec((1, 2, a.shape[-1]),
+                                       lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM))
+    add(d_y_out.astype(dtype), xspec)
+    add(d_head.astype(dtype), xspec)
+    if has_inter:
+        add(d_inter_out.astype(dtype), xspec)
+    for d in d_out32s:
+        add(d.astype(dtype), xspec)
+
+    # ---- outputs ----
+    out_shapes: List = []
+    out_specs: List = []
+
+    def out_tiled(hh, ch):
+        out_shapes.append(jax.ShapeDtypeStruct((n, hh, hh, ch), dtype))
+        out_specs.append(pl.BlockSpec((bt, hh, hh, ch),
+                                      lambda i: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    def out_acc(shape):
+        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape),
+            memory_space=pltpu.VMEM))
+
+    out_tiled(h0, c)                     # d_y
+    if has_inter:
+        for _ in range(L):
+            out_tiled(h0, c)             # d_inter_fifo
+    for pos, p in enumerate(plan):
+        for li in range(L):
+            out_tiled(p["res"], fifos[pos][li].shape[-1])
+    if has_inter:
+        out_acc(W["inter"][0].shape)
+        out_acc(W["inter"][1].shape)
+    for pos, p in enumerate(plan):
+        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
+            ("bn_s", "w_s") if p["skip"] else ())
+        for k in keys:
+            out_acc(W["blocks"][pos][k].shape)
+    out_acc(W["head"][0].shape)
+    out_acc(W["head"][1].shape)
+
+    outs = pl.pallas_call(
+        functools.partial(_slot_bwd_kernel, meta),
+        grid=(T,),
+        in_specs=specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    outs = list(outs)
+    d_y = outs.pop(0)
+    d_inter_fifo = tuple(outs.pop(0) for _ in range(L)) if has_inter else ()
+    d_fifos = tuple(
+        tuple(outs.pop(0) for _ in range(L)) for _ in plan
+    )
+    dW: Dict = {}
+    if has_inter:
+        dW["inter"] = (outs.pop(0), outs.pop(0))
+    dW["blocks"] = []
+    for p in plan:
+        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
+            ("bn_s", "w_s") if p["skip"] else ())
+        dW["blocks"].append({k: outs.pop(0) for k in keys})
+    dW["head"] = (outs.pop(0), outs.pop(0))
+    assert not outs
+    return d_y, d_inter_fifo, d_fifos, dW
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret):
+    meta = finalize_meta(
+        dict(num_blocks=nb, L=L, has_inter=has_inter, bt=bt, chan=c,
+             growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS),
+        h0,
+    )
+
+    def run_fwd(y, inter_fifo, fifos, W):
+        y_out, head, inter_out, out32s, saved = slot_train_fwd(
+            y, list(inter_fifo), [list(f) for f in fifos], W,
+            meta=meta, interpret=interpret,
+        )
+        if has_inter:
+            outs = (y_out, head, inter_out, tuple(out32s),
+                    tuple(saved["stats"]))
+        else:
+            outs = (y_out, head, tuple(out32s), tuple(saved["stats"]))
+        return outs, saved
+
+    @jax.custom_vjp
+    def f(y, inter_fifo, fifos, W):
+        outs, _ = run_fwd(y, inter_fifo, fifos, W)
+        return outs
+
+    def fwd(y, inter_fifo, fifos, W):
+        outs, saved = run_fwd(y, inter_fifo, fifos, W)
+        return outs, (y, inter_fifo, fifos, W, saved)
+
+    def bwd(res, cts):
+        y, inter_fifo, fifos, W, saved = res
+        if has_inter:
+            d_y_out, d_head, d_inter_out, d_out32s, _unused = cts
+        else:
+            d_y_out, d_head, d_out32s, _unused = cts
+            d_inter_out = None
+        d_y, d_if, d_f, dW = slot_train_bwd(
+            y, list(inter_fifo), [list(f) for f in fifos], W, saved,
+            (d_y_out, d_head, d_inter_out, list(d_out32s)),
+            meta=meta, interpret=interpret,
+        )
+        return d_y.astype(y.dtype), d_if, d_f, dW
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
+                     interpret=False):
+    """Whole-slot fused train forward with custom-VJP backward.
+
+    Returns (y_out, head, inter_out|None, out32s tuple, stats tuple) where
+    stats are per-tile (T, 2, C) fp32 arrays in kernel emission order.
+    Requires cfg.bn_tile > 0 (the grid batch tile = BN stat group).
+    """
+    h0 = y.shape[1]
+    fn = _make_slot_fn(
+        cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
+        cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),
+        interpret,
+    )
+    outs = fn(y, tuple(inter_fifo), tuple(tuple(f) for f in fifos), W)
+    if has_inter:
+        y_out, head, inter_out, out32s, stats = outs
+    else:
+        y_out, head, out32s, stats = outs
+        inter_out = None
+    return y_out, head, inter_out, out32s, stats

@@ -1,0 +1,228 @@
+"""Fused train-slot Pallas kernels vs the lax ghost-BN oracle.
+
+Oracle = apply_cu_net internals with cfg.bn_tile = kernel batch tile and
+bn_dtype="compute", fp32 compute (ties/rounding measure-zero)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cunet_tpu.config import ModelConfig
+from cunet_tpu.models import init_cu_net
+from cunet_tpu.models.cu_net import (
+    _apply_head,
+    _apply_hourglass,
+    _apply_intermedia,
+    _slot_subtree,
+    empty_fifos,
+)
+from cunet_tpu.kernels.train_slot import (
+    finalize_meta,
+    make_meta,
+    marshal_slot,
+    slot_train_fwd,
+)
+
+CFG = ModelConfig(layer_num=3, order=1, loss_num=3, class_num=4, neck_size=2,
+                  growth_rate=8, init_chan_num=16, num_blocks=2,
+                  bn_tile=2, bn_dtype="compute", remat="none",
+                  compute_dtype="float32")
+H0 = 8  # stem-output resolution used by the slot (input would be 4*H0)
+N = 4
+BT = 2
+
+
+def _lax_slot(params, state, y, fifos, slot_i, cfg=CFG):
+    """One slot through the lax path (ghost BN), returning
+    (y_out, head, fifos, inter_out)."""
+    y2, _, fifos["intermedia"] = _apply_intermedia(
+        params["intermedia"], state["intermedia"], y, slot_i,
+        fifos["intermedia"], cfg=cfg, train=True,
+    )
+    y_out, _, fifos = _apply_hourglass(
+        params["hg"], state["hg"], y2, slot_i, fifos, cfg=cfg, train=True,
+    )
+    hm, _ = _apply_head(params["heads"][slot_i], state["heads"][slot_i],
+                        y_out, train=True, norm_dtype=jnp.float32,
+                        tile=cfg.bn_tile)
+    return y_out, hm, fifos, (y2 if slot_i > 0 else None)
+
+
+def _run_slots_lax(params, state, y, n_slots):
+    fifos = empty_fifos(CFG)
+    outs = []
+    for i in range(n_slots):
+        y, hm, fifos, inter_out = _lax_slot(params, state, y, fifos, i)
+        outs.append((y, hm, inter_out))
+    return outs, fifos
+
+
+def _fifos_tuple(fifos, cfg=CFG):
+    """lax fifo dict -> kernel traversal-ordered tuple of tuples."""
+    nb = cfg.num_blocks
+    return (
+        [list(fifos["down"][j]) for j in range(nb)]
+        + [list(fifos["neck"])]
+        + [list(fifos["up"][j]) for j in reversed(range(nb))]
+    )
+
+
+class TestSlotForward:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        params, state = init_cu_net(jax.random.PRNGKey(0), CFG)
+        y = jax.random.normal(jax.random.PRNGKey(1), (N, H0, H0, 16),
+                              jnp.float32)
+        return params, state, y
+
+    def test_slot0_matches_lax(self, setup):
+        params, state, y = setup
+        outs, _ = _run_slots_lax(params, state, y, 1)
+        y_ref, hm_ref, _ = outs[0]
+
+        meta = finalize_meta(make_meta(CFG, 0, BT), H0)
+        W = marshal_slot(_slot_subtree(params, 0, CFG), CFG.num_blocks)
+        y_k, hm_k, inter_out, out32s, saved = slot_train_fwd(
+            y, [], [[] for _ in range(2 * CFG.num_blocks + 1)], W,
+            meta=meta, interpret=True,
+        )
+        np.testing.assert_allclose(y_k, y_ref, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(hm_k, hm_ref, rtol=2e-4, atol=2e-4)
+        assert inter_out is None
+
+    def test_steady_slot_matches_lax(self, setup):
+        """Slot 1 (order=1 steady state: FIFOs full, intermedia active)."""
+        params, state, y = setup
+        # lax: run slot 0 then slot 1; capture slot-1 inputs
+        fifos = empty_fifos(CFG)
+        y0, hm0, fifos, _ = _lax_slot(params, state, y, fifos, 0)
+        fifos_in = {
+            "down": [list(f) for f in fifos["down"]],
+            "neck": list(fifos["neck"]),
+            "up": [list(f) for f in fifos["up"]],
+            "intermedia": list(fifos["intermedia"]),
+        }
+        y1_ref, hm1_ref, fifos_after, inter_ref = _lax_slot(
+            params, state, y0, fifos, 1)
+
+        meta = finalize_meta(make_meta(CFG, 1, BT), H0)
+        W = marshal_slot(_slot_subtree(params, 1, CFG), CFG.num_blocks)
+        y_k, hm_k, inter_k, out32s, saved = slot_train_fwd(
+            y0, list(fifos_in["intermedia"]), _fifos_tuple(fifos_in), W,
+            meta=meta, interpret=True,
+        )
+        np.testing.assert_allclose(y_k, y1_ref, rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(hm_k, hm1_ref, rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(inter_k, inter_ref, rtol=5e-4, atol=5e-4)
+        # out32 outputs must equal the new FIFO tails the lax path pushed
+        nb = CFG.num_blocks
+        for j in range(nb):
+            np.testing.assert_allclose(
+                out32s[j], fifos_after["down"][j][-1], rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(
+            out32s[nb], fifos_after["neck"][-1], rtol=5e-4, atol=5e-4)
+        for idx, j in enumerate(reversed(range(nb))):
+            np.testing.assert_allclose(
+                out32s[nb + 1 + idx], fifos_after["up"][j][-1],
+                rtol=5e-4, atol=5e-4)
+
+
+def _loss_weights(seed, shapes):
+    """Random linear probes so every output contributes to the scalar."""
+    ws = []
+    for i, s in enumerate(shapes):
+        ws.append(jax.random.normal(jax.random.fold_in(seed, i), s,
+                                    jnp.float32))
+    return ws
+
+
+class TestSlotBackward:
+    """jax.grad through the custom-VJP'd kernel == grad through the lax
+    ghost-BN slot, w.r.t. the input, every FIFO entry, and every weight."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        params, state = init_cu_net(jax.random.PRNGKey(0), CFG)
+        y = jax.random.normal(jax.random.PRNGKey(1), (N, H0, H0, 16),
+                              jnp.float32)
+        return params, state, y
+
+    def _grads(self, setup, slot_i):
+        from cunet_tpu.kernels.train_slot import fused_slot_train, marshal_slot
+
+        params, state, y0 = setup
+        nb = CFG.num_blocks
+        # build slot inputs by running slots < slot_i through lax
+        fifos = empty_fifos(CFG)
+        y = y0
+        for i in range(slot_i):
+            y, _, fifos, _ = _lax_slot(params, state, y, fifos, i)
+        fifos_in = {
+            "down": [list(f) for f in fifos["down"]],
+            "neck": list(fifos["neck"]),
+            "up": [list(f) for f in fifos["up"]],
+            "intermedia": list(fifos["intermedia"]),
+        }
+        has_inter = slot_i > 0
+        L = min(slot_i, CFG.order)
+        probe = jax.random.PRNGKey(9)
+
+        def lax_loss(p_all, y_in, f_in):
+            f_d = {
+                "down": [list(f) for f in f_in["down"]],
+                "neck": list(f_in["neck"]),
+                "up": [list(f) for f in f_in["up"]],
+                "intermedia": list(f_in["intermedia"]),
+            }
+            y_out, hm, f_after, inter_out = _lax_slot(
+                p_all, state, y_in, f_d, slot_i)
+            terms = [jnp.sum(y_out * y_out), jnp.sum(hm * hm)]
+            if inter_out is not None:
+                terms.append(jnp.sum(inter_out * inter_out))
+            for j in range(nb):
+                terms.append(jnp.sum(f_after["down"][j][-1] ** 2))
+            terms.append(jnp.sum(f_after["neck"][-1] ** 2))
+            for j in range(nb):
+                terms.append(jnp.sum(f_after["up"][j][-1] ** 2))
+            return sum(terms)
+
+        def kern_loss(p_all, y_in, f_in):
+            p_slot = _slot_subtree(p_all, slot_i, CFG)
+            W = marshal_slot(p_slot, nb)
+            if not has_inter:
+                W.pop("inter", None)
+            y_out, hm, inter_out, out32s, stats = fused_slot_train(
+                y_in, list(f_in["intermedia"]) if has_inter else [],
+                _fifos_tuple(f_in), W, cfg=CFG, L=L, has_inter=has_inter,
+                interpret=True,
+            )
+            terms = [jnp.sum(y_out * y_out), jnp.sum(hm * hm)]
+            if inter_out is not None:
+                terms.append(jnp.sum(inter_out * inter_out))
+            for o in out32s:
+                terms.append(jnp.sum(o * o))
+            return sum(terms)
+
+        del probe
+        gl = jax.grad(lax_loss, argnums=(0, 1, 2))(params, y, fifos_in)
+        gk = jax.grad(kern_loss, argnums=(0, 1, 2))(params, y, fifos_in)
+        return gl, gk
+
+    def _assert_tree_close(self, a, b, rtol, atol):
+        la, ta = jax.tree_util.tree_flatten(a)
+        lb, tb = jax.tree_util.tree_flatten(b)
+        assert ta == tb
+        for x, z in zip(la, lb):
+            np.testing.assert_allclose(x, z, rtol=rtol, atol=atol)
+
+    def test_grads_slot0(self, setup):
+        (gp_l, gy_l, gf_l), (gp_k, gy_k, gf_k) = self._grads(setup, 0)
+        np.testing.assert_allclose(gy_k, gy_l, rtol=1e-3, atol=1e-3)
+        self._assert_tree_close(gp_k, gp_l, rtol=2e-3, atol=2e-3)
+
+    def test_grads_steady_slot(self, setup):
+        (gp_l, gy_l, gf_l), (gp_k, gy_k, gf_k) = self._grads(setup, 1)
+        np.testing.assert_allclose(gy_k, gy_l, rtol=1e-3, atol=1e-3)
+        self._assert_tree_close(gf_k, gf_l, rtol=1e-3, atol=1e-3)
+        self._assert_tree_close(gp_k, gp_l, rtol=2e-3, atol=2e-3)

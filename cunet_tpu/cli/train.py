@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", type=str, default="bottleneck",
                    choices=["none", "bottleneck", "layer", "block"])
+    p.add_argument("--bn_dtype", type=str, default="float32",
+                   choices=["float32", "compute"],
+                   help="BN normalize dtype (stats always f32); 'compute' is "
+                        "the flax-style mixed-precision fast path")
+    p.add_argument("--bn_tile", type=int, default=0,
+                   help="ghost/per-replica BN group size (0 = whole batch); "
+                        "the reference's DataParallel computes BN per GPU "
+                        "shard. With --use_pallas, training dispatches the "
+                        "fused train-slot kernels (bn_tile = kernel batch "
+                        "tile)")
     p.add_argument("--use_pallas", type=str2bool, default=False,
                    help="fused Pallas kernels on the eval path (TPU only)")
     p.add_argument("--trace_dir", type=str, default="",
@@ -147,6 +157,8 @@ def run_training(opt, exp_dir: str) -> dict:
         compute_dtype=opt.compute_dtype,
         remat=opt.remat,
         use_pallas=use_pallas,
+        bn_dtype=opt.bn_dtype,
+        bn_tile=opt.bn_tile,
     )
     qcfg = QuantConfig(
         bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
@@ -296,7 +308,7 @@ def run_eval(opt, exp_dir: str) -> dict:
         loss_num=opt.loss_num, neck_size=opt.neck_size,
         growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
         num_blocks=opt.num_blocks, compute_dtype=opt.compute_dtype,
-        remat="none", use_pallas=use_pallas,
+        remat="none", use_pallas=use_pallas, bn_dtype=opt.bn_dtype,
     )
     qcfg = QuantConfig(bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
                        enabled=opt.quantize, int8_infer=opt.int8_infer,

@@ -463,7 +463,7 @@ def _affine_bwd(x, bn, mu, var, d_z, dtype, eps):
     ig = inv * bn[0]
     shift = bn[1] - mu * ig
     a = x.astype(dtype) * ig.astype(dtype) + shift.astype(dtype)
-    d_a = jnp.where(a > 0, d_z, 0.0)
+    d_a = jnp.where(a.astype(jnp.float32) > 0, d_z, 0.0)
     xh = (x.astype(jnp.float32) - mu) * inv
     d_beta = jnp.sum(d_a, axis=0)
     d_gamma = jnp.sum(d_a * xh, axis=0)
@@ -506,13 +506,39 @@ def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
     return d_z2, dW3
 
 
+def _upsample2_cat(x, h, w, bt):
+    """Nearest 2x upsample via concatenation (materialized copies). The
+    broadcast_to-based _upsample2 produces lane/sublane-replicated vectors
+    that Mosaic cannot relayout into the backward kernel's transposed dots
+    and concats; this version forces canonical layouts."""
+    c = x.shape[-1]
+    x4 = x.reshape(bt, h, w, c)
+    xw = jnp.concatenate([x4[:, :, :, None, :], x4[:, :, :, None, :]],
+                         axis=3).reshape(bt, h, 2 * w, c)
+    xh = jnp.concatenate([xw[:, :, None, :, :], xw[:, :, None, :, :]],
+                         axis=2).reshape(bt, 2 * h, 2 * w, c)
+    return xh.reshape(bt * 2 * h * 2 * w, c)
+
+
 def _pool_bwd(d_pooled, ahead, pooled, h, w, bt):
     """Backward of 2x2 maxpool: gradient to every element equal to the
     window max (jnp.max semantics; ties are measure-zero for matmul
-    outputs)."""
-    up_p = _upsample2(pooled, h // 2, w // 2, bt)
-    up_d = _upsample2(d_pooled.astype(jnp.float32), h // 2, w // 2, bt)
-    return jnp.where(ahead == up_p, up_d, 0.0)
+    outputs). Quadrant-wise same-shape fp32 compares — Mosaic rejects both
+    broadcast-shaped masks and bf16 equality."""
+    c = ahead.shape[-1]
+    h2, w2 = h // 2, w // 2
+    a6 = ahead.astype(jnp.float32).reshape(bt, h2, 2, w2, 2, c)
+    p = pooled.astype(jnp.float32).reshape(bt, h2, w2, c)
+    dp = d_pooled.astype(jnp.float32).reshape(bt, h2, w2, c)
+    cols = []
+    for i in range(2):
+        rows = []
+        for j in range(2):
+            q = a6[:, :, i, :, j, :]
+            rows.append(jnp.where(q == p, dp, 0.0))
+        cols.append(jnp.stack(rows, axis=3))      # (bt, h2, w2, 2, c)
+    d6 = jnp.stack(cols, axis=2)                  # (bt, h2, 2, w2, 2, c)
+    return d6.reshape(bt * h * w, c)
 
 
 def _upsample_bwd(d_up, h, w, bt, c):
@@ -618,7 +644,7 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         idx = pos - (nb + 1)
         j = nb - 1 - idx
         h = plan[pos]["res"]
-        return [_upsample2(up_pre[idx], h // 2, h // 2, bt), skips[j]]
+        return [_upsample2_cat(up_pre[idx], h // 2, h // 2, bt), skips[j]]
 
     def block_bwd(pos, d_ahead, d_skip):
         """Recompute block ``pos`` internals and backprop. Returns d_x_cat

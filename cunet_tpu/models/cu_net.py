@@ -690,6 +690,119 @@ def _fused_slot_eval_hg(p, s, y, f, *, cfg, slot_i=None):
     return y_out, new_f, hm
 
 
+def _slot_state_from_stats(s, stats, cfg, h0, has_inter):
+    """Updated slot-state subtree from the train kernel's per-tile stats.
+
+    ``stats`` are (T, 2, C) fp32 arrays in kernel emission order
+    ([inter] + per position (bn1, bn2, bn_a[, bn_s]) + head); running stats
+    update with the tile-averaged mean and tile-averaged unbiased variance
+    (the bn_tile ghost-BN rule, see ops.layers.batch_norm).
+    """
+    from cunet_tpu.ops.layers import BN_MOMENTUM
+
+    bt = cfg.bn_tile
+    it = iter(stats)
+
+    def upd(old_norm, res):
+        st = next(it)
+        cnt = bt * res * res
+        mean = jnp.mean(st[:, 0], axis=0)
+        var_u = jnp.mean(st[:, 1] * (cnt / max(cnt - 1, 1)), axis=0)
+        return {
+            "mean": (1 - BN_MOMENTUM) * old_norm["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * old_norm["var"] + BN_MOMENTUM * var_u,
+        }
+
+    nb = cfg.num_blocks
+    new = {"hg": {"down": [], "neck": None, "up": [None] * nb}}
+    if has_inter:
+        new["inter"] = {"norm": upd(s["inter"]["norm"], h0)}
+    else:
+        new["inter"] = s["inter"]
+
+    def block_state(bs, res, skip):
+        d = {
+            "layers": {
+                "bottleneck": {"norm": upd(bs["layers"]["bottleneck"]["norm"],
+                                           res)},
+                "norm2": upd(bs["layers"]["norm2"], res),
+            },
+            "adapters_ahead": {"norm": upd(bs["adapters_ahead"]["norm"], res)},
+        }
+        if skip:
+            d["adapters_skip"] = {"norm": upd(bs["adapters_skip"]["norm"],
+                                              res)}
+        return d
+
+    res = h0
+    for j in range(nb):
+        new["hg"]["down"].append(block_state(s["hg"]["down"][j], res, True))
+        res //= 2
+    new["hg"]["neck"] = block_state(s["hg"]["neck"], res, False)
+    for idx, j in enumerate(reversed(range(nb))):
+        res *= 2
+        new["hg"]["up"][j] = block_state(s["hg"]["up"][j], res, False)
+    new["head"] = {"norm": upd(s["head"]["norm"], h0)}
+    try:
+        next(it)
+        raise AssertionError("unconsumed stats")
+    except StopIteration:
+        pass
+    return new
+
+
+def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None):
+    """One fused train slot: forward kernel + custom-VJP backward kernel
+    (cunet_tpu.kernels.train_slot). ``slot_i=None`` = steady state.
+
+    Returns (y_out, new_fifos, head_out, new_slot_state)."""
+    from cunet_tpu.kernels.train_slot import fused_slot_train, marshal_slot
+
+    nb = cfg.num_blocks
+    steady = slot_i is None
+    has_inter = steady or slot_i > 0
+    L = cfg.order if steady else min(slot_i, cfg.order)
+    grow = (not steady) and slot_i < cfg.order
+    assert y.shape[0] % cfg.bn_tile == 0, (
+        f"batch {y.shape[0]} not divisible by bn_tile {cfg.bn_tile}")
+
+    W = marshal_slot(p, nb)
+    if not has_inter:
+        W.pop("inter", None)
+    fifos_t = (
+        [list(f["down"][j]) for j in range(nb)]
+        + [list(f["neck"])]
+        + [list(f["up"][j]) for j in reversed(range(nb))]
+    )
+    y_out, hm, inter_out, out32s, stats = fused_slot_train(
+        y, list(f["intermedia"]) if has_inter else [], fifos_t, W,
+        cfg=cfg, L=L, has_inter=has_inter,
+    )
+
+    new_ss = _slot_state_from_stats(s, list(stats), cfg, y.shape[1], has_inter)
+
+    if cfg.order == 0:
+        new_f = f
+    else:
+        def push(fifo, out):
+            return tuple(fifo) + (out,) if grow else tuple(fifo[1:]) + (out,)
+
+        if has_inter:
+            new_inter = push(f["intermedia"], inter_out)
+        else:
+            new_inter = tuple(f["intermedia"]) + (y,)
+        new_up = [None] * nb
+        for idx, j in enumerate(reversed(range(nb))):
+            new_up[j] = push(f["up"][j], out32s[nb + 1 + idx])
+        new_f = {
+            "intermedia": new_inter,
+            "down": tuple(push(f["down"][j], out32s[j]) for j in range(nb)),
+            "neck": push(f["neck"], out32s[nb]),
+            "up": tuple(new_up),
+        }
+    return y_out, new_f, hm, new_ss
+
+
 def _fused_slot_eval(p, s, y, f, *, cfg):
     """One fully-fused eval slot: intermedia rides the first down block as a
     pre-stage, the head rides the last up block as a post-stage; every block
@@ -754,6 +867,11 @@ def _apply_slots_scanned(
         y, f = carry
         p, s, rk = xs
         r = rk if rng is not None else None
+
+        if train and cfg.use_pallas and cfg.bn_tile > 0 and quant is None:
+            # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
+            y, new_f, hm, new_ss = _fused_slot_train(p, s, y, f, cfg=cfg)
+            return (y, new_f), {"state": new_ss, "head_out": hm}
 
         if (not train) and cfg.use_pallas and quant is None:
             # fully-fused slot: one launch for the whole hourglass when
@@ -882,6 +1000,31 @@ def _set_idx(lst, i, val):
     out = list(lst)
     out[i] = val
     return out
+
+
+def _write_slot_state(hg_state, inter_state, heads_state, i, ss, cfg, anchors):
+    """Write one slot's updated state subtree (``_slot_subtree`` shape) back
+    into the list-of-slots state trees. Head state only updates at anchored
+    slots (the reference never runs non-anchored heads)."""
+    new_hg = {"down": list(hg_state["down"]), "neck": dict(hg_state["neck"]),
+              "up": list(hg_state["up"])}
+    for which in ("down", "up"):
+        for b in range(cfg.num_blocks):
+            blk = dict(new_hg[which][b])
+            for k in blk:
+                blk[k] = _set_idx(blk[k], i, ss["hg"][which][b][k])
+            new_hg[which][b] = blk
+    neck = dict(new_hg["neck"])
+    for k in neck:
+        neck[k] = _set_idx(neck[k], i, ss["hg"]["neck"][k])
+    new_hg["neck"] = neck
+    new_inter = {"adapters": list(inter_state["adapters"])}
+    if i > 0:
+        new_inter["adapters"][i - 1] = ss["inter"]
+    new_heads = list(heads_state)
+    if (i + 1) in anchors:
+        new_heads[i] = ss["head"]
+    return new_hg, new_inter, new_heads
 
 
 
@@ -1015,7 +1158,27 @@ def apply_cu_net(
     # must not engage for quantized evaluation
     fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
         and quant is None
+    fused_train = train and cfg.use_pallas and cfg.bn_tile > 0 \
+        and quant is None
     for i in range(unrolled_upto):
+        if fused_train:
+            slot_p = _slot_subtree(params, i, cfg)
+            slot_s = _slot_subtree(state, i, cfg)
+            y, new_f, hm, new_ss = _fused_slot_train(
+                slot_p, slot_s, y, fifos, cfg=cfg, slot_i=i
+            )
+            fifos = {
+                "down": [list(fe) for fe in new_f["down"]],
+                "neck": list(new_f["neck"]),
+                "up": [list(fe) for fe in new_f["up"]],
+                "intermedia": list(new_f["intermedia"]),
+            }
+            hg_state, inter_state, heads_state = _write_slot_state(
+                hg_state, inter_state, heads_state, i, new_ss, cfg, anchors
+            )
+            if (i + 1) in anchors:
+                outs.append(hm)
+            continue
         if fused_eval:
             slot_p = _slot_subtree(params, i, cfg)
             slot_s = _slot_subtree(state, i, cfg)

@@ -60,6 +60,9 @@ def main():
                          "eq-mask VJP); slice = WRONG-NUMERICS stand-in that "
                          "removes pooling cost entirely (ablation only)")
     ap.add_argument("--bn", default="float32", choices=["float32", "compute"])
+    ap.add_argument("--bn_tile", type=int, default=0,
+                    help="ghost-BN group size; with --pallas dispatches the "
+                         "fused train-slot kernels")
     ap.add_argument("--noscan", action="store_true")
     ap.add_argument("--flatten", action="store_true",
                     help="wrap the optimizer in optax.flatten (single-vector "
@@ -85,7 +88,7 @@ def main():
                       loss_num=args.layer_num, compute_dtype=args.dtype,
                       remat=args.remat, use_pallas=args.pallas,
                       conv3x3_impl=args.conv, bn_dtype=args.bn,
-                      use_scan=not args.noscan)
+                      bn_tile=args.bn_tile, use_scan=not args.noscan)
     bs = args.bs
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     image = jnp.ones((bs, 256, 256, 3), jnp.bfloat16)
@@ -93,7 +96,8 @@ def main():
     stages = args.stages.split(",")
     label = (f"bs={bs} conv={args.conv} remat={args.remat} "
              f"pallas={args.pallas} dtype={args.dtype} K={args.layer_num} "
-             f"bn={args.bn} scan={not args.noscan} pool={args.pool}")
+             f"bn={args.bn} bn_tile={args.bn_tile} scan={not args.noscan} "
+             f"pool={args.pool}")
     print(f"== {label}")
 
     def report(name, dt):

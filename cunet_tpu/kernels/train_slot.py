@@ -28,6 +28,7 @@ across grid steps (the TPU grid is sequential).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import jax
@@ -488,22 +489,39 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
     return d_x, dW, d_bn
 
 
+_CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "taps")
+
+
 def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
     """Backward of the scatter-form 3x3 conv (host-packed (Cb, 9G) weight).
 
-    d_t's tap-d slice is d_out shifted by (1-dy, 1-dx) with zero borders.
+    The tap-d cotangent is d_out shifted by (1-dy, 1-dx) with zero borders.
+    Default "taps" mode runs 9 per-tap dot pairs — Mosaic rejects the
+    concat of 9 spatially-shifted slices ("result/input offset mismatch on
+    non-concat dimension"), the same reason the forward scatter conv uses
+    sliced adds instead of a tap concat (fused_hourglass._conv3x3).
     Returns (d_z2 fp32 (m, Cb), dW3 fp32 (Cb, 9G))."""
     g = w3p.shape[-1] // 9
     m = bt * h * w
     d_p = jnp.pad(d_out32.astype(dtype).reshape(bt, h, w, g),
                   ((0, 0), (1, 1), (1, 1), (0, 0)))
-    d_t = jnp.concatenate(
-        [d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :]
-         for dy in range(3) for dx in range(3)], axis=-1,
-    ).reshape(m, 9 * g)
-    d_z2 = _dot_dx(d_t, w3p, dtype)
-    dW3 = _dot_dw(z2, d_t, dtype)
-    return d_z2, dW3
+    if _CONV_BWD_MODE == "cat":
+        d_t = jnp.concatenate(
+            [d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :]
+             for dy in range(3) for dx in range(3)], axis=-1,
+        ).reshape(m, 9 * g)
+        d_z2 = _dot_dx(d_t, w3p, dtype)
+        dW3 = _dot_dw(z2, d_t, dtype)
+        return d_z2, dW3
+    d_z2 = jnp.zeros((m, z2.shape[-1]), jnp.float32)
+    dW3_parts = []
+    for dy in range(3):
+        for dx in range(3):
+            d = dy * 3 + dx
+            sl = d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :].reshape(m, g)
+            d_z2 = d_z2 + _dot_dx(sl, w3p[:, d * g:(d + 1) * g], dtype)
+            dW3_parts.append(_dot_dw(z2, sl, dtype))
+    return d_z2, jnp.concatenate(dW3_parts, axis=-1)
 
 
 def _upsample2_cat(x, h, w, bt):
@@ -705,10 +723,25 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         return d_x_cat[:, :base_width]
 
     # ================= reverse walk =================
+    # dev-only compile bisect: stop computing after N reverse steps
+    # (remaining grads are garbage — WRONG RESULTS, diagnosis only)
+    _stub_after = int(os.environ.get("CUNET_TSBWD_STUB_AFTER", "99"))
+    _step = [0]
+
+    def _stubbed():
+        _step[0] += 1
+        return _step[0] > _stub_after
+
     # --- up path (traversal pos 2nb .. nb+1), block up j = nb-1-idx ---
     d_y = d_y_out.astype(jnp.float32)
     d_skip_store = [None] * nb
     for pos in range(2 * nb, nb, -1):
+        if _stubbed():
+            h = plan[pos]["res"]
+            j = nb - 1 - (pos - (nb + 1))
+            d_skip_store[j] = jnp.zeros((bt * h * h, c), jnp.float32)
+            d_y = jnp.zeros((bt * (h // 2) ** 2, c), jnp.float32)
+            continue
         idx = pos - (nb + 1)
         j = nb - 1 - idx
         h = plan[pos]["res"]
@@ -745,11 +778,19 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
 
     # --- neck (pos nb) ---
-    d_x_cat = block_bwd(nb, d_y, None)
-    d_pool = split_fifo_grads(nb, d_x_cat, c)
+    if _stubbed():
+        h = plan[nb]["res"]
+        d_pool = jnp.zeros((bt * h * h, c), jnp.float32)
+    else:
+        d_x_cat = block_bwd(nb, d_y, None)
+        d_pool = split_fifo_grads(nb, d_x_cat, c)
 
     # --- down path (pos nb-1 .. 0) ---
     for pos in range(nb - 1, -1, -1):
+        if _stubbed():
+            h = plan[pos]["res"]
+            d_pool = jnp.zeros((bt * h * h, c), jnp.float32)
+            continue
         h = plan[pos]["res"]
         # recompute this block's ahead for the pool mask
         # (ahead = pre-pool; pooled[pos] saved)
@@ -776,6 +817,11 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         # d_pool now holds d of this block's input
 
     # --- intermedia backward ---
+    if has_inter and _stubbed():
+        d_y_ref[...] = jnp.zeros((bt, h0, h0, c), dtype)
+        for li in range(L):
+            d_inter_fifo_refs[li][...] = jnp.zeros((bt, h0, h0, c), dtype)
+        return
     if has_inter:
         d_y2 = d_pool + d_inter_out.astype(jnp.float32)
         # y2 = relu(norm(x_cat_i)) @ w_i (cast dtype — cast bwd is identity)

@@ -5,8 +5,9 @@ training study): the lax path spends ~80% of its time in thousands of tiny
 BN/elementwise/dynamic-slice ops, not in matmuls. These kernels run an
 ENTIRE coupled-U-Net slot — intermedia adapter, 4 down blocks (with pools),
 neck, 4 up blocks (with upsamples), head — as ONE Pallas program for the
-forward and ONE for the backward, with train-mode batch-norm statistics
-computed in VMEM.
+forward and TWO for the backward (head+up path, then neck+down+intermedia;
+one whole-slot backward exceeds v5e's 128 MB VMEM), with train-mode
+batch-norm statistics computed in VMEM.
 
 Batch statistics are per grid tile (``bn_tile`` images): ghost/per-replica
 BN, the exact semantics of the reference's DataParallel training where every
@@ -566,7 +567,182 @@ def _upsample_bwd(d_up, h, w, bt, c):
     return jnp.sum(d.astype(jnp.float32), axis=(2, 4)).reshape(bt * h * w, c)
 
 
-def _slot_bwd_kernel(meta, *refs):  # noqa: C901
+def _mk_acc():
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = jnp.zeros_like(ref)
+        ref[...] += val.astype(jnp.float32)
+
+    return acc
+
+
+def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
+                       d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc):
+    """Recompute block ``pos`` internals from its input parts and backprop.
+
+    stats3 = dict of (2,C) stat values keyed s1/s2/sa[/ss]. Writes weight
+    grads + fifo-entry cotangents; returns d of the concatenated base part
+    (fp32, width = sum of x_parts widths)."""
+    bt = meta["bt"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    p = meta["plan"][pos]
+    h = p["res"]
+    x_cat = jnp.concatenate(list(x_parts) + list(fifo), axis=-1)
+    mu1, var1 = stats3["s1"][0], stats3["s1"][1]
+    z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
+    yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+    mu2, var2 = stats3["s2"][0], stats3["s2"][1]
+    z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+    # adapters backward
+    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+    x2 = jnp.concatenate([x_cat, out32], axis=-1)
+    d_x2, dW_a, dbn_a = _stage_bwd(x2, wset["bn_a"], wset["w_a"],
+                                   stats3["sa"][0], stats3["sa"][1],
+                                   d_ahead, dtype, eps)
+    acc(dW_refs_b["w_a"], dW_a)
+    acc(dW_refs_b["bn_a"], dbn_a)
+    if d_skip is not None:
+        d_x2s, dW_s, dbn_s = _stage_bwd(x2, wset["bn_s"], wset["w_s"],
+                                        stats3["ss"][0], stats3["ss"][1],
+                                        d_skip, dtype, eps)
+        d_x2 = d_x2 + d_x2s
+        acc(dW_refs_b["w_s"], dW_s)
+        acc(dW_refs_b["bn_s"], dbn_s)
+    k1 = p["k1"]
+    d_x_cat = d_x2[:, :k1]
+    d_out32 = d_x2[:, k1:] + d_out32_e.astype(jnp.float32)
+    # 3x3 conv backward
+    d_z2, dW3 = _conv3x3_bwd(z2, wset["w3"], d_out32, bt, h, h, dtype)
+    acc(dW_refs_b["w3"], dW3)
+    # bn2 backward
+    d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps)
+    acc(dW_refs_b["bn2"], dbn2)
+    # bottleneck dot + bn1 backward
+    dW_b = _dot_dw(z1, d_yb, dtype)
+    d_z1 = _dot_dx(d_yb, wset["w_b"], dtype)
+    d_x1, dbn1 = _affine_bwd(x_cat, wset["bn1"], mu1, var1, d_z1, dtype, eps)
+    acc(dW_refs_b["w_b"], dW_b)
+    acc(dW_refs_b["bn1"], dbn1)
+    d_all = d_x_cat + d_x1
+    # fifo-entry cotangents
+    base_width = sum(x.shape[-1] for x in x_parts)
+    off = base_width
+    for li, f in enumerate(fifo):
+        g_w = f.shape[-1]
+        d_fifo_refs_p[li][...] = (
+            d_all[:, off:off + g_w].astype(dtype).reshape(bt, h, h, g_w))
+        off += g_w
+    return d_all[:, :base_width]
+
+
+def _block_ahead(meta, pos, x_parts, fifo, wset, stats3):
+    """Recompute a block's ``ahead`` output (pre-pool) for the pool mask."""
+    bt = meta["bt"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    h = meta["plan"][pos]["res"]
+    x_cat = jnp.concatenate(list(x_parts) + list(fifo), axis=-1)
+    z1 = _norm_relu(x_cat, wset["bn1"], stats3["s1"][0], stats3["s1"][1],
+                    dtype, eps)
+    yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+    z2 = _norm_relu(yb, wset["bn2"], stats3["s2"][0], stats3["s2"][1],
+                    dtype, eps)
+    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+    x2 = jnp.concatenate([x_cat, out32], axis=-1)
+    inva = jax.lax.rsqrt(stats3["sa"][1] + eps) * wset["bn_a"][0]
+    shifta = wset["bn_a"][1] - stats3["sa"][0] * inva
+    return _dot(
+        jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
+                    + shifta.astype(dtype), 0),
+        wset["w_a"], dtype).astype(dtype), x2
+
+
+def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
+    """Backward part A: head + up blocks (traversal pos 2nb .. nb+1).
+
+    Emits d_skips (fp32, consumed by part B), d of the neck output (fp32),
+    up-fifo cotangents, and up-block + head weight grads."""
+    nb = meta["num_blocks"]
+    L = meta["L"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    plan = meta["plan"]
+
+    it = iter(refs)
+    nxt = lambda: next(it)
+
+    def flat(ref):
+        v = ref[...]
+        return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
+
+    # ---- inputs ----
+    U = list(range(nb + 1, 2 * nb + 1))
+    fifo_vals, wsets = {}, {}
+    for pos in U:
+        fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
+        wsets[pos] = _read_wset(nxt, False)
+    bn_h, w_h = nxt()[...], nxt()[...]
+    up_pre = [flat(nxt()) for _ in range(nb)]
+    skips = [flat(nxt()) for _ in range(nb)]
+    stats3 = {pos: {k: nxt()[0] for k in ("s1", "s2", "sa")} for pos in U}
+    head_stat = nxt()[0]
+    d_y_out = flat(nxt())
+    d_head = flat(nxt())
+    d_out32_ext = {pos: flat(nxt()) for pos in U}
+
+    # ---- outputs ----
+    d_y_low_ref = nxt()
+    d_skip_refs = [nxt() for _ in range(nb)]
+    d_fifo_refs = {pos: [nxt() for _ in range(L)] for pos in U}
+    dW_refs = {pos: {k: nxt() for k in
+                     ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a")} for pos in U}
+    dW_head = (nxt(), nxt())
+
+    acc = _mk_acc()
+
+    def block_input(pos):
+        idx = pos - (nb + 1)
+        j = nb - 1 - idx
+        h = plan[pos]["res"]
+        return [_upsample2_cat(up_pre[idx], h // 2, h // 2, bt), skips[j]]
+
+    d_y = d_y_out.astype(jnp.float32)
+    for pos in reversed(U):
+        idx = pos - (nb + 1)
+        j = nb - 1 - idx
+        h = plan[pos]["res"]
+        if pos == 2 * nb:
+            # head backward rides the last up block (its input is y_out)
+            y_out_val, _ = _block_ahead(meta, pos, block_input(pos),
+                                        fifo_vals[pos], wsets[pos],
+                                        stats3[pos])
+            d_h_in, dW_h, dbn_h = _stage_bwd(
+                y_out_val, bn_h, w_h, head_stat[0], head_stat[1],
+                d_head, dtype, eps)
+            acc(dW_head[1], dW_h)
+            acc(dW_head[0], dbn_h)
+            d_y = d_y + d_h_in
+        d_base = _block_bwd_generic(
+            meta, pos, block_input(pos), fifo_vals[pos], wsets[pos],
+            stats3[pos], dW_refs[pos], d_fifo_refs[pos],
+            d_out32_ext[pos], d_y, None, acc)
+        d_up = d_base[:, :c]
+        d_skip_refs[j][...] = d_base[:, c:2 * c].reshape(bt, h, h, c)
+        d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
+
+    r = plan[nb]["res"]
+    d_y_low_ref[...] = d_y.reshape(bt, r, r, c)
+
+
+def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
+    """Backward part B: neck + down blocks + intermedia, consuming part A's
+    d_skips and d of the neck output."""
     nb = meta["num_blocks"]
     L = meta["L"]
     has_inter = meta["has_inter"]
@@ -584,244 +760,75 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         v = ref[...]
         return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
 
-    # ---- inputs (same order as forward marshaling) ----
+    # ---- inputs ----
+    D = list(range(nb + 1))
     y = flat(nxt())
-    inter_fifo, inter_w = [], None
+    inter_fifo = []
     if has_inter:
         inter_fifo = [flat(nxt()) for _ in range(L)]
         bn_i, w_i = nxt()[...], nxt()[...]
-    fifo_vals: List = []
-    wsets: List = []
-    for p in plan:
-        fifo_vals.append([flat(nxt()) for _ in range(L)])
-        wsets.append(_read_wset(nxt, p["skip"]))
-    bn_h, w_h = nxt()[...], nxt()[...]
-
+    fifo_vals, wsets = {}, {}
+    for pos in D:
+        fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
+        wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
     pooled = [flat(nxt()) for _ in range(nb)]
-    up_pre = [flat(nxt()) for _ in range(nb)]
-    skips = [flat(nxt()) for _ in range(nb)]
-
-    # per-tile stats, in forward emission order
-    n_stats = (1 if has_inter else 0) + sum(4 if p["skip"] else 3
-                                            for p in plan) + 1
-    stats = [nxt()[0] for _ in range(n_stats)]  # (2, C) values
-
-    d_y_out = flat(nxt())
-    d_head = flat(nxt())
+    inter_stat = nxt()[0] if has_inter else None
+    stats3 = {}
+    for pos in D:
+        keys = ("s1", "s2", "sa") + (("ss",) if plan[pos]["skip"] else ())
+        stats3[pos] = {k: nxt()[0] for k in keys}
+    d_y_low = flat(nxt())
+    d_skips = [flat(nxt()) for _ in range(nb)]
     d_inter_out = flat(nxt()) if has_inter else None
-    d_out32_ext = [flat(nxt()) for _ in plan]
+    d_out32_ext = {pos: flat(nxt()) for pos in D}
 
     # ---- outputs ----
     d_y_ref = nxt()
     d_inter_fifo_refs = [nxt() for _ in range(L)] if has_inter else []
-    d_fifo_refs = [[nxt() for _ in range(L)] for _ in plan]
-    dW_refs: Dict = {}
+    d_fifo_refs = {pos: [nxt() for _ in range(L)] for pos in D}
+    dW_refs = {}
     if has_inter:
-        dW_refs["inter"] = (nxt(), nxt())
-    dW_refs["blocks"] = []
-    for p in plan:
+        dW_inter = (nxt(), nxt())
+    for pos in D:
         keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
-            ("bn_s", "w_s") if p["skip"] else ())
-        dW_refs["blocks"].append({k: nxt() for k in keys})
-    dW_refs["head"] = (nxt(), nxt())
+            ("bn_s", "w_s") if plan[pos]["skip"] else ())
+        dW_refs[pos] = {k: nxt() for k in keys}
 
-    first = pl.program_id(0) == 0
-
-    def acc(ref, val):
-        @pl.when(first)
-        def _():
-            ref[...] = jnp.zeros_like(ref)
-        ref[...] += val.astype(jnp.float32)
-
-    # stat index per position: [inter] + per pos (s1, s2, sa[, ss])
-    si = 1 if has_inter else 0
-    stat_idx = []
-    for p in plan:
-        idx = {"s1": si, "s2": si + 1, "sa": si + 2}
-        si += 3
-        if p["skip"]:
-            idx["ss"] = si
-            si += 1
-        stat_idx.append(idx)
-    head_stat = stats[si]
+    acc = _mk_acc()
 
     # ---- recompute the intermedia output (input of down block 0) ----
     if has_inter:
         x_cat_i = jnp.concatenate([y] + inter_fifo, axis=-1)
-        mu_i, var_i = stats[0][0], stats[0][1]
+        mu_i, var_i = inter_stat[0], inter_stat[1]
         z_i = _norm_relu(x_cat_i, bn_i, mu_i, var_i, dtype, eps)
         y2 = _dot(z_i, w_i, dtype).astype(dtype)
     else:
         y2 = y
 
     def block_input(pos):
-        if pos == 0:
-            return [y2]
-        if pos <= nb:
-            return [pooled[pos - 1]]
-        idx = pos - (nb + 1)
-        j = nb - 1 - idx
-        h = plan[pos]["res"]
-        return [_upsample2_cat(up_pre[idx], h // 2, h // 2, bt), skips[j]]
-
-    def block_bwd(pos, d_ahead, d_skip):
-        """Recompute block ``pos`` internals and backprop. Returns d_x_cat
-        (fp32, split by the caller)."""
-        p = plan[pos]
-        h = p["res"]
-        wset = wsets[pos]
-        sidx = stat_idx[pos]
-        x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
-        mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
-        z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
-        yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
-        mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
-        z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
-        # adapters backward
-        out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
-        x2 = jnp.concatenate([x_cat, out32], axis=-1)
-        mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
-        d_x2, dW_a, dbn_a = _stage_bwd(x2, wset["bn_a"], wset["w_a"],
-                                       mua, vara, d_ahead, dtype, eps)
-        acc(dW_refs["blocks"][pos]["w_a"], dW_a)
-        acc(dW_refs["blocks"][pos]["bn_a"], dbn_a)
-        if d_skip is not None:
-            mus, vars_ = stats[sidx["ss"]][0], stats[sidx["ss"]][1]
-            d_x2s, dW_s, dbn_s = _stage_bwd(x2, wset["bn_s"], wset["w_s"],
-                                            mus, vars_, d_skip, dtype, eps)
-            d_x2 = d_x2 + d_x2s
-            acc(dW_refs["blocks"][pos]["w_s"], dW_s)
-            acc(dW_refs["blocks"][pos]["bn_s"], dbn_s)
-        k1 = p["k1"]
-        d_x_cat = d_x2[:, :k1]
-        d_out32 = d_x2[:, k1:] + d_out32_ext[pos].astype(jnp.float32)
-        # 3x3 conv backward
-        d_z2, dW3 = _conv3x3_bwd(z2, wset["w3"], d_out32, bt, h, h, dtype)
-        acc(dW_refs["blocks"][pos]["w3"], dW3)
-        # bn2 backward
-        d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps)
-        acc(dW_refs["blocks"][pos]["bn2"], dbn2)
-        # bottleneck dot + bn1 backward
-        dW_b = _dot_dw(z1, d_yb, dtype)
-        d_z1 = _dot_dx(d_yb, wset["w_b"], dtype)
-        d_x1, dbn1 = _affine_bwd(x_cat, wset["bn1"], mu1, var1, d_z1,
-                                 dtype, eps)
-        acc(dW_refs["blocks"][pos]["w_b"], dW_b)
-        acc(dW_refs["blocks"][pos]["bn1"], dbn1)
-        return d_x_cat + d_x1
-
-    def split_fifo_grads(pos, d_x_cat, base_width):
-        """Write fifo-entry cotangents; return the d of the base part."""
-        off = base_width
-        for li in range(L):
-            g_w = fifo_vals[pos][li].shape[-1]
-            h = plan[pos]["res"]
-            d_fifo_refs[pos][li][...] = (
-                d_x_cat[:, off:off + g_w].astype(dtype)
-                .reshape(bt, h, h, g_w))
-            off += g_w
-        return d_x_cat[:, :base_width]
-
-    # ================= reverse walk =================
-    # dev-only compile bisect: stop computing after N reverse steps
-    # (remaining grads are garbage — WRONG RESULTS, diagnosis only)
-    _stub_after = int(os.environ.get("CUNET_TSBWD_STUB_AFTER", "99"))
-    _step = [0]
-
-    def _stubbed():
-        _step[0] += 1
-        return _step[0] > _stub_after
-
-    # --- up path (traversal pos 2nb .. nb+1), block up j = nb-1-idx ---
-    d_y = d_y_out.astype(jnp.float32)
-    d_skip_store = [None] * nb
-    for pos in range(2 * nb, nb, -1):
-        if _stubbed():
-            h = plan[pos]["res"]
-            j = nb - 1 - (pos - (nb + 1))
-            d_skip_store[j] = jnp.zeros((bt * h * h, c), jnp.float32)
-            d_y = jnp.zeros((bt * (h // 2) ** 2, c), jnp.float32)
-            continue
-        idx = pos - (nb + 1)
-        j = nb - 1 - idx
-        h = plan[pos]["res"]
-        if pos == 2 * nb:
-            # head backward rides the last up block (its input is y_out)
-            x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
-            wset = wsets[pos]
-            sidx = stat_idx[pos]
-            mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
-            z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
-            yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
-            mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
-            z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
-            out32 = _conv3x3(z2, wset["w3"], bt, h, h,
-                             mode="scatter").astype(dtype)
-            x2 = jnp.concatenate([x_cat, out32], axis=-1)
-            mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
-            inva = jax.lax.rsqrt(vara + eps) * wset["bn_a"][0]
-            shifta = wset["bn_a"][1] - mua * inva
-            y_out_val = _dot(
-                jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
-                            + shifta.astype(dtype), 0),
-                wset["w_a"], dtype).astype(dtype)
-            d_h_in, dW_h, dbn_h = _stage_bwd(
-                y_out_val, bn_h, w_h, head_stat[0], head_stat[1],
-                d_head, dtype, eps)
-            acc(dW_refs["head"][1], dW_h)
-            acc(dW_refs["head"][0], dbn_h)
-            d_y = d_y + d_h_in
-        d_x_cat = block_bwd(pos, d_y, None)
-        d_base = split_fifo_grads(pos, d_x_cat, 2 * c)
-        d_up = d_base[:, :c]
-        d_skip_store[j] = d_base[:, c:2 * c]
-        d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
+        return [y2] if pos == 0 else [pooled[pos - 1]]
 
     # --- neck (pos nb) ---
-    if _stubbed():
-        h = plan[nb]["res"]
-        d_pool = jnp.zeros((bt * h * h, c), jnp.float32)
-    else:
-        d_x_cat = block_bwd(nb, d_y, None)
-        d_pool = split_fifo_grads(nb, d_x_cat, c)
+    d_pool = _block_bwd_generic(
+        meta, nb, block_input(nb), fifo_vals[nb], wsets[nb], stats3[nb],
+        dW_refs[nb], d_fifo_refs[nb], d_out32_ext[nb],
+        d_y_low.astype(jnp.float32), None, acc)
 
     # --- down path (pos nb-1 .. 0) ---
     for pos in range(nb - 1, -1, -1):
-        if _stubbed():
-            h = plan[pos]["res"]
-            d_pool = jnp.zeros((bt * h * h, c), jnp.float32)
-            continue
         h = plan[pos]["res"]
         # recompute this block's ahead for the pool mask
         # (ahead = pre-pool; pooled[pos] saved)
-        wset = wsets[pos]
-        sidx = stat_idx[pos]
-        x_cat = jnp.concatenate(block_input(pos) + fifo_vals[pos], axis=-1)
-        mu1, var1 = stats[sidx["s1"]][0], stats[sidx["s1"]][1]
-        z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
-        yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
-        mu2, var2 = stats[sidx["s2"]][0], stats[sidx["s2"]][1]
-        z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
-        out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
-        x2 = jnp.concatenate([x_cat, out32], axis=-1)
-        mua, vara = stats[sidx["sa"]][0], stats[sidx["sa"]][1]
-        inva = jax.lax.rsqrt(vara + eps) * wset["bn_a"][0]
-        shifta = wset["bn_a"][1] - mua * inva
-        ahead = _dot(
-            jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
-                        + shifta.astype(dtype), 0),
-            wset["w_a"], dtype).astype(dtype)
+        ahead, _ = _block_ahead(meta, pos, block_input(pos), fifo_vals[pos],
+                                wsets[pos], stats3[pos])
         d_ahead = _pool_bwd(d_pool, ahead, pooled[pos], h, h, bt)
-        d_x_cat = block_bwd(pos, d_ahead, d_skip_store[pos])
-        d_pool = split_fifo_grads(pos, d_x_cat, c)
+        d_pool = _block_bwd_generic(
+            meta, pos, block_input(pos), fifo_vals[pos], wsets[pos],
+            stats3[pos], dW_refs[pos], d_fifo_refs[pos], d_out32_ext[pos],
+            d_ahead, d_skips[pos].astype(jnp.float32), acc)
         # d_pool now holds d of this block's input
 
     # --- intermedia backward ---
-    if has_inter and _stubbed():
-        d_y_ref[...] = jnp.zeros((bt, h0, h0, c), dtype)
-        for li in range(L):
-            d_inter_fifo_refs[li][...] = jnp.zeros((bt, h0, h0, c), dtype)
-        return
     if has_inter:
         d_y2 = d_pool + d_inter_out.astype(jnp.float32)
         # y2 = relu(norm(x_cat_i)) @ w_i (cast dtype — cast bwd is identity)
@@ -829,8 +836,8 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         d_zi = _dot_dx(d_y2, w_i, dtype)
         d_xi, dbn_i = _affine_bwd(x_cat_i, bn_i, mu_i, var_i, d_zi,
                                   dtype, eps)
-        acc(dW_refs["inter"][1], dW_i)
-        acc(dW_refs["inter"][0], dbn_i)
+        acc(dW_inter[1], dW_i)
+        acc(dW_inter[0], dbn_i)
         d_y_ref[...] = d_xi[:, :c].astype(dtype).reshape(bt, h0, h0, c)
         off = c
         for li in range(L):
@@ -841,12 +848,34 @@ def _slot_bwd_kernel(meta, *refs):  # noqa: C901
         d_y_ref[...] = d_pool.astype(dtype).reshape(bt, h0, h0, c)
 
 
+def _stat_slices(meta):
+    """Index of each position's stat arrays in the forward emission order:
+    [inter] + per pos (s1, s2, sa[, ss]) + head. Returns (per_pos, head_i,
+    inter_i|None)."""
+    plan = meta["plan"]
+    inter_i = 0 if meta["has_inter"] else None
+    si = 1 if meta["has_inter"] else 0
+    per_pos = []
+    for p in plan:
+        keys = ("s1", "s2", "sa") + (("ss",) if p["skip"] else ())
+        per_pos.append({k: si + j for j, k in enumerate(keys)})
+        si += len(keys)
+    return per_pos, si, inter_i
+
+
+def _wset_keys(skip: bool):
+    return ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
+        ("bn_s", "w_s") if skip else ())
+
+
 def slot_train_bwd(
     y, inter_fifo, fifos, W, saved, cts, *, meta: Dict, interpret: bool = False,
 ):
-    """One-launch train backward. ``cts`` = (d_y_out, d_head, d_inter_out,
-    d_out32s). Returns (d_y, d_inter_fifo, d_fifos, dW) with dW matching W's
-    structure in fp32."""
+    """Two-launch train backward (part A: head + up path, part B: neck +
+    down path + intermedia; one whole-slot kernel exceeds v5e VMEM).
+    ``cts`` = (d_y_out, d_head, d_inter_out, d_out32s). Returns
+    (d_y, d_inter_fifo, d_fifos, dW) with dW matching W's structure in
+    fp32."""
     nb = meta["num_blocks"]
     L = meta["L"]
     has_inter = meta["has_inter"]
@@ -859,92 +888,168 @@ def slot_train_bwd(
     T = n // bt
 
     d_y_out, d_head, d_inter_out, d_out32s = cts
-
-    args, specs = _marshal_inputs(meta, y, inter_fifo, fifos, W)
+    per_pos_stat, head_stat_i, inter_stat_i = _stat_slices(meta)
 
     def xspec(a):
         return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def add(a, spec):
-        args.append(a)
-        specs.append(spec(a))
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
+                            memory_space=pltpu.VMEM)
 
-    for a in saved["pooled"] + saved["up_pre"] + saved["skips"]:
-        add(a, xspec)
-    for st in saved["stats"]:
-        add(st, lambda a: pl.BlockSpec((1, 2, a.shape[-1]),
-                                       lambda i: (i, 0, 0),
-                                       memory_space=pltpu.VMEM))
-    add(d_y_out.astype(dtype), xspec)
-    add(d_head.astype(dtype), xspec)
+    def statspec(a):
+        return pl.BlockSpec((1, 2, a.shape[-1]), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def call(kernel, args, specs, out_shapes, out_specs):
+        return pl.pallas_call(
+            functools.partial(kernel, meta),
+            grid=(T,),
+            in_specs=specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*args)
+
+    class M:
+        """Arg/spec/out marshaling scratchpad."""
+
+        def __init__(self):
+            self.args, self.specs = [], []
+            self.out_shapes, self.out_specs = [], []
+
+        def add(self, a, spec):
+            self.args.append(a)
+            self.specs.append(spec(a))
+
+        def add_wset(self, pos):
+            for k in _wset_keys(plan[pos]["skip"]):
+                a = W["blocks"][pos][k]
+                self.add(a.astype(jnp.float32 if k.startswith("bn")
+                                  else dtype), full)
+
+        def out_tiled(self, hh, ch, dt=None):
+            self.out_shapes.append(
+                jax.ShapeDtypeStruct((n, hh, hh, ch), dt or dtype))
+            self.out_specs.append(pl.BlockSpec((bt, hh, hh, ch),
+                                               lambda i: (i, 0, 0, 0),
+                                               memory_space=pltpu.VMEM))
+
+        def out_acc(self, shape):
+            self.out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+            self.out_specs.append(pl.BlockSpec(
+                shape, lambda i: tuple(0 for _ in shape),
+                memory_space=pltpu.VMEM))
+
+    # ======== part A: head + up blocks ========
+    U = list(range(nb + 1, 2 * nb + 1))
+    A = M()
+    for pos in U:
+        for f in fifos[pos]:
+            A.add(f.astype(dtype), xspec)
+        A.add_wset(pos)
+    A.add(W["head"][0].astype(jnp.float32), full)
+    A.add(W["head"][1].astype(dtype), full)
+    for a in saved["up_pre"] + saved["skips"]:
+        A.add(a, xspec)
+    for pos in U:
+        for k in ("s1", "s2", "sa"):
+            A.add(saved["stats"][per_pos_stat[pos][k]], statspec)
+    A.add(saved["stats"][head_stat_i], statspec)
+    A.add(d_y_out.astype(dtype), xspec)
+    A.add(d_head.astype(dtype), xspec)
+    for pos in U:
+        A.add(d_out32s[pos].astype(dtype), xspec)
+
+    r_neck = plan[nb]["res"]
+    A.out_tiled(r_neck, c, jnp.float32)          # d_y_low
+    for j in range(nb):
+        A.out_tiled(plan[j]["res"], c, jnp.float32)   # d_skips
+    for pos in U:
+        for li in range(L):
+            A.out_tiled(plan[pos]["res"], fifos[pos][li].shape[-1])
+    for pos in U:
+        for k in _wset_keys(False):
+            A.out_acc(W["blocks"][pos][k].shape)
+    A.out_acc(W["head"][0].shape)
+    A.out_acc(W["head"][1].shape)
+
+    outs = list(call(_slot_bwd_up_kernel, A.args, A.specs,
+                     A.out_shapes, A.out_specs))
+    d_y_low = outs.pop(0)
+    d_skips = [outs.pop(0) for _ in range(nb)]
+    d_fifos_up = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in U}
+    dW_up = {pos: {k: outs.pop(0) for k in _wset_keys(False)} for pos in U}
+    dW_head = (outs.pop(0), outs.pop(0))
+    assert not outs
+
+    # ======== part B: neck + down blocks + intermedia ========
+    D = list(range(nb + 1))
+    B = M()
+    B.add(y.astype(dtype), xspec)
     if has_inter:
-        add(d_inter_out.astype(dtype), xspec)
-    for d in d_out32s:
-        add(d.astype(dtype), xspec)
+        for f in inter_fifo:
+            B.add(f.astype(dtype), xspec)
+        B.add(W["inter"][0].astype(jnp.float32), full)
+        B.add(W["inter"][1].astype(dtype), full)
+    for pos in D:
+        for f in fifos[pos]:
+            B.add(f.astype(dtype), xspec)
+        B.add_wset(pos)
+    for a in saved["pooled"]:
+        B.add(a, xspec)
+    if has_inter:
+        B.add(saved["stats"][inter_stat_i], statspec)
+    for pos in D:
+        for k in (("s1", "s2", "sa") + (("ss",) if plan[pos]["skip"]
+                                        else ())):
+            B.add(saved["stats"][per_pos_stat[pos][k]], statspec)
+    B.add(d_y_low, xspec)
+    for d in d_skips:
+        B.add(d, xspec)
+    if has_inter:
+        B.add(d_inter_out.astype(dtype), xspec)
+    for pos in D:
+        B.add(d_out32s[pos].astype(dtype), xspec)
 
-    # ---- outputs ----
-    out_shapes: List = []
-    out_specs: List = []
-
-    def out_tiled(hh, ch):
-        out_shapes.append(jax.ShapeDtypeStruct((n, hh, hh, ch), dtype))
-        out_specs.append(pl.BlockSpec((bt, hh, hh, ch),
-                                      lambda i: (i, 0, 0, 0),
-                                      memory_space=pltpu.VMEM))
-
-    def out_acc(shape):
-        out_shapes.append(jax.ShapeDtypeStruct(shape, jnp.float32))
-        out_specs.append(pl.BlockSpec(
-            shape, lambda i: tuple(0 for _ in shape),
-            memory_space=pltpu.VMEM))
-
-    out_tiled(h0, c)                     # d_y
+    B.out_tiled(h0, c)                   # d_y
     if has_inter:
         for _ in range(L):
-            out_tiled(h0, c)             # d_inter_fifo
-    for pos, p in enumerate(plan):
+            B.out_tiled(h0, c)           # d_inter_fifo
+    for pos in D:
         for li in range(L):
-            out_tiled(p["res"], fifos[pos][li].shape[-1])
+            B.out_tiled(plan[pos]["res"], fifos[pos][li].shape[-1])
     if has_inter:
-        out_acc(W["inter"][0].shape)
-        out_acc(W["inter"][1].shape)
-    for pos, p in enumerate(plan):
-        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
-            ("bn_s", "w_s") if p["skip"] else ())
-        for k in keys:
-            out_acc(W["blocks"][pos][k].shape)
-    out_acc(W["head"][0].shape)
-    out_acc(W["head"][1].shape)
+        B.out_acc(W["inter"][0].shape)
+        B.out_acc(W["inter"][1].shape)
+    for pos in D:
+        for k in _wset_keys(plan[pos]["skip"]):
+            B.out_acc(W["blocks"][pos][k].shape)
 
-    outs = pl.pallas_call(
-        functools.partial(_slot_bwd_kernel, meta),
-        grid=(T,),
-        in_specs=specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(*args)
-
-    outs = list(outs)
+    outs = list(call(_slot_bwd_down_kernel, B.args, B.specs,
+                     B.out_shapes, B.out_specs))
     d_y = outs.pop(0)
     d_inter_fifo = tuple(outs.pop(0) for _ in range(L)) if has_inter else ()
-    d_fifos = tuple(
-        tuple(outs.pop(0) for _ in range(L)) for _ in plan
-    )
+    d_fifos_down = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in D}
     dW: Dict = {}
     if has_inter:
         dW["inter"] = (outs.pop(0), outs.pop(0))
-    dW["blocks"] = []
-    for p in plan:
-        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
-            ("bn_s", "w_s") if p["skip"] else ())
-        dW["blocks"].append({k: outs.pop(0) for k in keys})
-    dW["head"] = (outs.pop(0), outs.pop(0))
+    dW_down = {pos: {k: outs.pop(0) for k in _wset_keys(plan[pos]["skip"])}
+               for pos in D}
     assert not outs
+
+    d_fifos = tuple(
+        (d_fifos_down if pos <= nb else d_fifos_up)[pos]
+        for pos in range(len(plan))
+    )
+    dW["blocks"] = [
+        (dW_down if pos <= nb else dW_up)[pos] for pos in range(len(plan))
+    ]
+    dW["head"] = dW_head
     return d_y, d_inter_fifo, d_fifos, dW
 
 

@@ -216,7 +216,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         inter_out_val = y
 
     def block(x_parts, fifo_vals, wset, h, w):
-        x_cat = jnp.concatenate(list(x_parts) + list(fifo_vals), axis=-1)
+        x_cat = _cat_canon(list(x_parts) + list(fifo_vals))
         yb = stage(x_cat, wset["bn1"], wset["w_b"]).astype(dtype)
         mu2, var2 = _stats(yb)
         stat_writes.append(jnp.stack([mu2, var2]))
@@ -514,13 +514,15 @@ def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
         d_z2 = _dot_dx(d_t, w3p, dtype)
         dW3 = _dot_dw(z2, d_t, dtype)
         return d_z2, dW3
-    d_z2 = jnp.zeros((m, z2.shape[-1]), jnp.float32)
+    d_z2 = None  # seed from the first tap dot — a zeros init gets a
+    # replicated Mosaic layout that can hit "Invalid relayout" downstream
     dW3_parts = []
     for dy in range(3):
         for dx in range(3):
             d = dy * 3 + dx
             sl = d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :].reshape(m, g)
-            d_z2 = d_z2 + _dot_dx(sl, w3p[:, d * g:(d + 1) * g], dtype)
+            term = _dot_dx(sl, w3p[:, d * g:(d + 1) * g], dtype)
+            d_z2 = term if d_z2 is None else d_z2 + term
             dW3_parts.append(_dot_dw(z2, sl, dtype))
     return d_z2, jnp.concatenate(dW3_parts, axis=-1)
 
@@ -579,6 +581,19 @@ def _mk_acc():
     return acc
 
 
+def _cat_canon(parts):
+    """Concat feature parts; a single raw windowed-ref read is split and
+    re-concatenated to force a canonical Mosaic layout — the raw read's
+    implicit-dim layout trips "Invalid relayout: ... replicated in
+    destination" inside the BN-jacobian reductions (multi-part concats
+    canonicalize as a side effect, which is why only L=0 slots hit it)."""
+    if len(parts) == 1:
+        p0 = parts[0]
+        half = p0.shape[-1] // 2
+        return jnp.concatenate([p0[:, :half], p0[:, half:]], axis=-1)
+    return jnp.concatenate(list(parts), axis=-1)
+
+
 def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
                        d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc):
     """Recompute block ``pos`` internals from its input parts and backprop.
@@ -591,7 +606,7 @@ def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
     eps = meta["eps"]
     p = meta["plan"][pos]
     h = p["res"]
-    x_cat = jnp.concatenate(list(x_parts) + list(fifo), axis=-1)
+    x_cat = _cat_canon(list(x_parts) + list(fifo))
     mu1, var1 = stats3["s1"][0], stats3["s1"][1]
     z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
     yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
@@ -645,7 +660,7 @@ def _block_ahead(meta, pos, x_parts, fifo, wset, stats3):
     dtype = meta["dtype"]
     eps = meta["eps"]
     h = meta["plan"][pos]["res"]
-    x_cat = jnp.concatenate(list(x_parts) + list(fifo), axis=-1)
+    x_cat = _cat_canon(list(x_parts) + list(fifo))
     z1 = _norm_relu(x_cat, wset["bn1"], stats3["s1"][0], stats3["s1"][1],
                     dtype, eps)
     yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
@@ -808,7 +823,18 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
     def block_input(pos):
         return [y2] if pos == 0 else [pooled[pos - 1]]
 
+    # dev-only compile bisect: stop emitting ops after N segments (outputs
+    # beyond that point stay unwritten — WRONG RESULTS, diagnosis only)
+    _stop = int(os.environ.get("CUNET_TSBWD_DOWN_STOP", "99"))
+    _seg = [0]
+
+    def _stopped():
+        _seg[0] += 1
+        return _seg[0] > _stop
+
     # --- neck (pos nb) ---
+    if _stopped():
+        return
     d_pool = _block_bwd_generic(
         meta, nb, block_input(nb), fifo_vals[nb], wsets[nb], stats3[nb],
         dW_refs[nb], d_fifo_refs[nb], d_out32_ext[nb],
@@ -816,6 +842,8 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
 
     # --- down path (pos nb-1 .. 0) ---
     for pos in range(nb - 1, -1, -1):
+        if _stopped():
+            return
         h = plan[pos]["res"]
         # recompute this block's ahead for the pool mask
         # (ahead = pre-pool; pooled[pos] saved)
@@ -829,6 +857,8 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         # d_pool now holds d of this block's input
 
     # --- intermedia backward ---
+    if _stopped():
+        return
     if has_inter:
         d_y2 = d_pool + d_inter_out.astype(jnp.float32)
         # y2 = relu(norm(x_cat_i)) @ w_i (cast dtype — cast bwd is identity)
@@ -978,8 +1008,21 @@ def slot_train_bwd(
     A.out_acc(W["head"][0].shape)
     A.out_acc(W["head"][1].shape)
 
-    outs = list(call(_slot_bwd_up_kernel, A.args, A.specs,
-                     A.out_shapes, A.out_specs))
+    # dev-only fault isolation: CUNET_TSBWD_ONLY=up|down runs just one of
+    # the two backward launches (the other's outputs become zeros — WRONG
+    # RESULTS, compile diagnosis only)
+    _only = os.environ.get("CUNET_TSBWD_ONLY", "")
+    if _only == "down":
+        # plausibly-shaped fakes derived from real tensors — jnp.zeros here
+        # would reach the down kernel as XLA *broadcast* operands, whose
+        # replicated Mosaic layout itself fails, poisoning the isolation
+        outs = [jnp.zeros(s.shape, s.dtype) for s in A.out_shapes]
+        outs[0] = saved["pooled"][-1].astype(jnp.float32) * 1e-6
+        for j in range(nb):
+            outs[1 + j] = saved["skips"][j].astype(jnp.float32) * 1e-6
+    else:
+        outs = list(call(_slot_bwd_up_kernel, A.args, A.specs,
+                         A.out_shapes, A.out_specs))
     d_y_low = outs.pop(0)
     d_skips = [outs.pop(0) for _ in range(nb)]
     d_fifos_up = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in U}
@@ -1030,8 +1073,11 @@ def slot_train_bwd(
         for k in _wset_keys(plan[pos]["skip"]):
             B.out_acc(W["blocks"][pos][k].shape)
 
-    outs = list(call(_slot_bwd_down_kernel, B.args, B.specs,
-                     B.out_shapes, B.out_specs))
+    if _only == "up":
+        outs = [jnp.zeros(s.shape, s.dtype) for s in B.out_shapes]
+    else:
+        outs = list(call(_slot_bwd_down_kernel, B.args, B.specs,
+                         B.out_shapes, B.out_specs))
     d_y = outs.pop(0)
     d_inter_fifo = tuple(outs.pop(0) for _ in range(L)) if has_inter else ()
     d_fifos_down = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in D}

@@ -44,6 +44,7 @@ class DenseUNetConfig:
     remat: str = "bottleneck"
     use_pallas: bool = False
     bn_dtype: str = "float32"   # see ModelConfig.bn_dtype
+    bn_tile: int = 0            # see ModelConfig.bn_tile (ghost BN)
 
     @property
     def bottleneck_chan(self) -> int:

@@ -490,40 +490,40 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
     return d_x, dW, d_bn
 
 
-_CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "taps")
+_CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "catc")
 
 
 def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
     """Backward of the scatter-form 3x3 conv (host-packed (Cb, 9G) weight).
 
     The tap-d cotangent is d_out shifted by (1-dy, 1-dx) with zero borders.
-    Default "taps" mode runs 9 per-tap dot pairs — Mosaic rejects the
-    concat of 9 spatially-shifted slices ("result/input offset mismatch on
-    non-concat dimension"), the same reason the forward scatter conv uses
-    sliced adds instead of a tap concat (fused_hourglass._conv3x3).
+    Default "catc" builds the (m, 9G) tap matrix by concatenating the 9
+    shifted slices after canonicalizing each (split-reconcat on lanes) —
+    Mosaic rejects the raw concat ("result/input offset mismatch on
+    non-concat dimension") because the slices carry spatial offsets. Two
+    fat dots then contract the full 9G dimension on the MXU. "taps" falls
+    back to 9 thin per-tap dot pairs (K=G: ~4x lower MXU efficiency).
     Returns (d_z2 fp32 (m, Cb), dW3 fp32 (Cb, 9G))."""
     g = w3p.shape[-1] // 9
     m = bt * h * w
     d_p = jnp.pad(d_out32.astype(dtype).reshape(bt, h, w, g),
                   ((0, 0), (1, 1), (1, 1), (0, 0)))
-    if _CONV_BWD_MODE == "cat":
+    slices = [
+        d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :].reshape(m, g)
+        for dy in range(3) for dx in range(3)
+    ]
+    if _CONV_BWD_MODE == "catc":
         d_t = jnp.concatenate(
-            [d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :]
-             for dy in range(3) for dx in range(3)], axis=-1,
-        ).reshape(m, 9 * g)
-        d_z2 = _dot_dx(d_t, w3p, dtype)
-        dW3 = _dot_dw(z2, d_t, dtype)
-        return d_z2, dW3
+            [jnp.concatenate([sl[:, :g // 2], sl[:, g // 2:]], axis=-1)
+             for sl in slices], axis=-1)
+        return _dot_dx(d_t, w3p, dtype), _dot_dw(z2, d_t, dtype)
     d_z2 = None  # seed from the first tap dot — a zeros init gets a
     # replicated Mosaic layout that can hit "Invalid relayout" downstream
     dW3_parts = []
-    for dy in range(3):
-        for dx in range(3):
-            d = dy * 3 + dx
-            sl = d_p[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w, :].reshape(m, g)
-            term = _dot_dx(sl, w3p[:, d * g:(d + 1) * g], dtype)
-            d_z2 = term if d_z2 is None else d_z2 + term
-            dW3_parts.append(_dot_dw(z2, sl, dtype))
+    for d, sl in enumerate(slices):
+        term = _dot_dx(sl, w3p[:, d * g:(d + 1) * g], dtype)
+        d_z2 = term if d_z2 is None else d_z2 + term
+        dW3_parts.append(_dot_dw(z2, sl, dtype))
     return d_z2, jnp.concatenate(dW3_parts, axis=-1)
 
 

@@ -90,6 +90,61 @@ outs = run(k, [jnp.ones((BT, H, H, CB), DT), jnp.ones((CB, 9 * G), DT),
             jax.ShapeDtypeStruct((CB, 9 * G), jnp.float32)])
 print("OK", float(outs[0][0, 0, 0, 0]))
 """,
+    # cat-form conv bwd with per-slice canonicalization (split-reconcat on
+    # lanes) before the tap concat -> two fat dots (K=9G on the MXU)
+    "conv_cat_canon": r"""
+def k(z2_ref, w3_ref, do_ref, o1, o2):
+    z2 = z2_ref[...].reshape(M, CB)
+    w3p = w3_ref[...]
+    d_p = jnp.pad(do_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = []
+    for dy in range(3):
+        for dx in range(3):
+            sl = d_p[:, 2 - dy:2 - dy + H, 2 - dx:2 - dx + H, :].reshape(M, G)
+            taps.append(jnp.concatenate([sl[:, :G // 2], sl[:, G // 2:]],
+                                        axis=-1))
+    d_t = jnp.concatenate(taps, axis=-1)
+    o1[...] = jax.lax.dot_general(
+        d_t.astype(DT), w3p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(BT, H, H, CB)
+    o2[...] = jax.lax.dot_general(
+        z2, d_t.astype(DT), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+outs = run(k, [jnp.ones((BT, H, H, CB), DT), jnp.ones((CB, 9 * G), DT),
+               jnp.ones((BT, H, H, G), DT)],
+           [jax.ShapeDtypeStruct((BT, H, H, CB), jnp.float32),
+            jax.ShapeDtypeStruct((CB, 9 * G), jnp.float32)])
+print("OK", float(outs[0][0, 0, 0, 0]))
+""",
+    # cat-form via pad-on-channels + sum (fwd-style adds, no concat)
+    "conv_pad_sum": r"""
+def k(z2_ref, w3_ref, do_ref, o1, o2):
+    z2 = z2_ref[...].reshape(M, CB)
+    w3p = w3_ref[...]
+    d_p = jnp.pad(do_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+    d_t = None
+    for dy in range(3):
+        for dx in range(3):
+            d = dy * 3 + dx
+            sl = d_p[:, 2 - dy:2 - dy + H, 2 - dx:2 - dx + H, :]
+            term = jnp.pad(sl, ((0, 0), (0, 0), (0, 0),
+                                (d * G, (8 - d) * G)))
+            d_t = term if d_t is None else d_t + term
+    d_t = d_t.reshape(M, 9 * G)
+    o1[...] = jax.lax.dot_general(
+        d_t.astype(DT), w3p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(BT, H, H, CB)
+    o2[...] = jax.lax.dot_general(
+        z2, d_t.astype(DT), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+outs = run(k, [jnp.ones((BT, H, H, CB), DT), jnp.ones((CB, 9 * G), DT),
+               jnp.ones((BT, H, H, G), DT)],
+           [jax.ShapeDtypeStruct((BT, H, H, CB), jnp.float32),
+            jax.ShapeDtypeStruct((CB, 9 * G), jnp.float32)])
+print("OK", float(outs[0][0, 0, 0, 0]))
+""",
     # channel split of a wide fp32 at non-128 offsets + slice ref writes
     "chan_split": r"""
 K1 = 2 * C + G  # 288

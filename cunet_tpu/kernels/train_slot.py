@@ -594,27 +594,51 @@ def _cat_canon(parts):
     return jnp.concatenate(list(parts), axis=-1)
 
 
-def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
-                       d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc):
-    """Recompute block ``pos`` internals from its input parts and backprop.
+def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead):
+    """Recompute block ``pos`` internals ONCE from its input parts.
 
-    stats3 = dict of (2,C) stat values keyed s1/s2/sa[/ss]. Writes weight
-    grads + fifo-entry cotangents; returns d of the concatenated base part
-    (fp32, width = sum of x_parts widths)."""
+    Returns dict(x_cat, z1, yb, z2, out32, x2[, ahead]) shared by the pool
+    mask / head backward AND the block backward — the backward kernels must
+    not run this twice per block."""
+    bt = meta["bt"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    h = meta["plan"][pos]["res"]
+    x_cat = _cat_canon(list(x_parts) + list(fifo))
+    z1 = _norm_relu(x_cat, wset["bn1"], stats3["s1"][0], stats3["s1"][1],
+                    dtype, eps)
+    yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
+    z2 = _norm_relu(yb, wset["bn2"], stats3["s2"][0], stats3["s2"][1],
+                    dtype, eps)
+    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+    x2 = jnp.concatenate([x_cat, out32], axis=-1)
+    vals = dict(x_cat=x_cat, z1=z1, yb=yb, z2=z2, out32=out32, x2=x2)
+    if need_ahead:
+        inva = jax.lax.rsqrt(stats3["sa"][1] + eps) * wset["bn_a"][0]
+        shifta = wset["bn_a"][1] - stats3["sa"][0] * inva
+        vals["ahead"] = _dot(
+            jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
+                        + shifta.astype(dtype), 0),
+            wset["w_a"], dtype).astype(dtype)
+    return vals
+
+
+def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
+                       d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc):
+    """Backprop block ``pos`` from its precomputed forward values (see
+    _block_fwd_vals). stats3 = dict of (2,C) stat values keyed
+    s1/s2/sa[/ss]. Writes weight grads + fifo-entry cotangents; returns d
+    of the concatenated base part (fp32)."""
     bt = meta["bt"]
     dtype = meta["dtype"]
     eps = meta["eps"]
     p = meta["plan"][pos]
     h = p["res"]
-    x_cat = _cat_canon(list(x_parts) + list(fifo))
+    x_cat, z1, yb, z2 = vals["x_cat"], vals["z1"], vals["yb"], vals["z2"]
+    x2 = vals["x2"]
     mu1, var1 = stats3["s1"][0], stats3["s1"][1]
-    z1 = _norm_relu(x_cat, wset["bn1"], mu1, var1, dtype, eps)
-    yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
     mu2, var2 = stats3["s2"][0], stats3["s2"][1]
-    z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
     # adapters backward
-    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
-    x2 = jnp.concatenate([x_cat, out32], axis=-1)
     d_x2, dW_a, dbn_a = _stage_bwd(x2, wset["bn_a"], wset["w_a"],
                                    stats3["sa"][0], stats3["sa"][1],
                                    d_ahead, dtype, eps)
@@ -644,7 +668,7 @@ def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
     acc(dW_refs_b["bn1"], dbn1)
     d_all = d_x_cat + d_x1
     # fifo-entry cotangents
-    base_width = sum(x.shape[-1] for x in x_parts)
+    base_width = x_cat.shape[-1] - sum(f.shape[-1] for f in fifo)
     off = base_width
     for li, f in enumerate(fifo):
         g_w = f.shape[-1]
@@ -652,28 +676,6 @@ def _block_bwd_generic(meta, pos, x_parts, fifo, wset, stats3, dW_refs_b,
             d_all[:, off:off + g_w].astype(dtype).reshape(bt, h, h, g_w))
         off += g_w
     return d_all[:, :base_width]
-
-
-def _block_ahead(meta, pos, x_parts, fifo, wset, stats3):
-    """Recompute a block's ``ahead`` output (pre-pool) for the pool mask."""
-    bt = meta["bt"]
-    dtype = meta["dtype"]
-    eps = meta["eps"]
-    h = meta["plan"][pos]["res"]
-    x_cat = _cat_canon(list(x_parts) + list(fifo))
-    z1 = _norm_relu(x_cat, wset["bn1"], stats3["s1"][0], stats3["s1"][1],
-                    dtype, eps)
-    yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
-    z2 = _norm_relu(yb, wset["bn2"], stats3["s2"][0], stats3["s2"][1],
-                    dtype, eps)
-    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
-    x2 = jnp.concatenate([x_cat, out32], axis=-1)
-    inva = jax.lax.rsqrt(stats3["sa"][1] + eps) * wset["bn_a"][0]
-    shifta = wset["bn_a"][1] - stats3["sa"][0] * inva
-    return _dot(
-        jnp.maximum(x2.astype(dtype) * inva.astype(dtype)
-                    + shifta.astype(dtype), 0),
-        wset["w_a"], dtype).astype(dtype), x2
 
 
 def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
@@ -732,19 +734,19 @@ def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
         idx = pos - (nb + 1)
         j = nb - 1 - idx
         h = plan[pos]["res"]
+        vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
+                               wsets[pos], stats3[pos],
+                               need_ahead=pos == 2 * nb)
         if pos == 2 * nb:
             # head backward rides the last up block (its input is y_out)
-            y_out_val, _ = _block_ahead(meta, pos, block_input(pos),
-                                        fifo_vals[pos], wsets[pos],
-                                        stats3[pos])
             d_h_in, dW_h, dbn_h = _stage_bwd(
-                y_out_val, bn_h, w_h, head_stat[0], head_stat[1],
+                vals["ahead"], bn_h, w_h, head_stat[0], head_stat[1],
                 d_head, dtype, eps)
             acc(dW_head[1], dW_h)
             acc(dW_head[0], dbn_h)
             d_y = d_y + d_h_in
         d_base = _block_bwd_generic(
-            meta, pos, block_input(pos), fifo_vals[pos], wsets[pos],
+            meta, pos, vals, fifo_vals[pos], wsets[pos],
             stats3[pos], dW_refs[pos], d_fifo_refs[pos],
             d_out32_ext[pos], d_y, None, acc)
         d_up = d_base[:, :c]
@@ -835,8 +837,10 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
     # --- neck (pos nb) ---
     if _stopped():
         return
+    neck_vals = _block_fwd_vals(meta, nb, block_input(nb), fifo_vals[nb],
+                                wsets[nb], stats3[nb], need_ahead=False)
     d_pool = _block_bwd_generic(
-        meta, nb, block_input(nb), fifo_vals[nb], wsets[nb], stats3[nb],
+        meta, nb, neck_vals, fifo_vals[nb], wsets[nb], stats3[nb],
         dW_refs[nb], d_fifo_refs[nb], d_out32_ext[nb],
         d_y_low.astype(jnp.float32), None, acc)
 
@@ -845,13 +849,13 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         if _stopped():
             return
         h = plan[pos]["res"]
-        # recompute this block's ahead for the pool mask
-        # (ahead = pre-pool; pooled[pos] saved)
-        ahead, _ = _block_ahead(meta, pos, block_input(pos), fifo_vals[pos],
-                                wsets[pos], stats3[pos])
-        d_ahead = _pool_bwd(d_pool, ahead, pooled[pos], h, h, bt)
+        # one shared recompute: ahead feeds the pool mask (ahead = pre-pool;
+        # pooled[pos] saved), the rest feeds the block backward
+        vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
+                               wsets[pos], stats3[pos], need_ahead=True)
+        d_ahead = _pool_bwd(d_pool, vals["ahead"], pooled[pos], h, h, bt)
         d_pool = _block_bwd_generic(
-            meta, pos, block_input(pos), fifo_vals[pos], wsets[pos],
+            meta, pos, vals, fifo_vals[pos], wsets[pos],
             stats3[pos], dW_refs[pos], d_fifo_refs[pos], d_out32_ext[pos],
             d_ahead, d_skips[pos].astype(jnp.float32), acc)
         # d_pool now holds d of this block's input

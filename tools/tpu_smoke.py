@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MIN_TRAIN_IMGS_PER_SEC = 130.0   # record 181 (r1); fail below ~0.7x
+MIN_TRAIN_IMGS_PER_SEC = 260.0   # record 375 (r2 fused train slots); ~0.7x
 MIN_EVAL16_IMGS_PER_SEC = 900.0  # record 1325 (r1 tera loop); fail below ~0.7x
 
 
@@ -37,8 +37,10 @@ def smoke_train_k8() -> float:
     from cunet_tpu.models import init_cu_net
     from cunet_tpu.train import create_train_state, make_optimizer, train_step
 
+    # the round-2 fused train-slot path (whole-slot fwd + two bwd launches)
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
-                      compute_dtype="bfloat16", remat="bottleneck")
+                      compute_dtype="bfloat16", remat="none",
+                      use_pallas=True, bn_tile=2, bn_dtype="compute")
     bs = 24
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))

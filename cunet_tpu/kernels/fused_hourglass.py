@@ -69,7 +69,7 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
         # the compute dtype (bf16 halves it) and accumulate the 9 taps in f32
         t = jax.lax.dot_general(
             y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_dot_out_type(y2.dtype),
         ).astype(y2.dtype)
         tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
                      ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -102,6 +102,13 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
     return acc
 
 
+# NOTE: emitting bf16 straight from the dots (preferred_element_type=bf16)
+# to skip the f32 VMEM round-trip is NOT possible — Mosaic verification
+# requires a 32-bit matmul accumulator ("Expected matmul acc to be 32-bit").
+def _dot_out_type(dtype):
+    return jnp.float32
+
+
 def _bottleneck_val(x_cat, vec, w, dtype):
     """relu(x*inv + shift) @ w on a concatenated (m, Cin) value."""
     if "affine" in _ABLATE:
@@ -115,7 +122,7 @@ def _bottleneck_val(x_cat, vec, w, dtype):
         y = jnp.maximum(x_cat.astype(jnp.float32) * vec[0, :] + vec[1, :], 0.0)
     return jax.lax.dot_general(
         y.astype(dtype), w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_dot_out_type(dtype),
     )
 
 
@@ -142,7 +149,8 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
     else:
         # vec2's scale is pre-folded into w_b's columns (models/cu_net.py
         # _hg_wset), so this stage is add+relu only; row 0 is all-ones.
-        y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
+        y2 = jnp.maximum(yb + wset["vec2"][1, :].astype(yb.dtype),
+                         0.0).astype(dtype)
     g = wset["w3"].shape[-1] // (9 if wset["w3"].ndim == 2 else 1)
     if "conv" in _ABLATE:
         out32 = y2[:, :g]
@@ -170,10 +178,23 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
     return ahead, skip, out32
 
 
+# max2step measures +3.3% end-to-end over the 6D double-max on v5e;
+# repeat-based upsample measures 2% slower than the broadcast (rejected)
+_POOL_MODE = os.environ.get("CUNET_POOL_MODE", "max2step")
+_UPS_MODE = os.environ.get("CUNET_UPS_MODE", "bcast")
+
+
 def _maxpool2(x, h, w, b=1):
     c = x.shape[-1]
     if "pools" in _ABLATE:  # cheapest shape-preserving stand-in
         return x.reshape(b, h, w, c)[:, : h // 2, : w // 2, :].reshape(
+            b * (h // 2) * (w // 2), c)
+    if _POOL_MODE == "max2step":
+        # two single-axis maxes over 5D views instead of one 6D double-max
+        x5 = x.reshape(b, h // 2, 2, w, c)
+        m1 = jnp.maximum(x5[:, :, 0], x5[:, :, 1])       # (b, h/2, w, c)
+        m5 = m1.reshape(b, h // 2, w // 2, 2, c)
+        return jnp.maximum(m5[:, :, :, 0], m5[:, :, :, 1]).reshape(
             b * (h // 2) * (w // 2), c)
     return jnp.max(
         x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4)
@@ -186,6 +207,22 @@ def _upsample2(x, h, w, b=1):
         return jnp.pad(x.reshape(b, h, w, c),
                        ((0, 0), (0, h), (0, w), (0, 0))).reshape(
             b * (2 * h) * (2 * w), c)
+    if _UPS_MODE == "cat":
+        x4 = x.reshape(b, h, w, c)
+        xw = jnp.concatenate([x4[:, :, :, None, :], x4[:, :, :, None, :]],
+                             axis=3).reshape(b, h, 2 * w, c)
+        xh = jnp.concatenate([xw[:, :, None, :, :], xw[:, :, None, :, :]],
+                             axis=2)
+        return xh.reshape(b * 2 * h * 2 * w, c)
+    if _UPS_MODE == "repeat":
+        # native Mosaic repeat on the row dim twice (w then h): rows of the
+        # flat (b*h*w, c) view are (b, h, w)-major, so repeating rows
+        # interleaves w-neighbours only after a per-row duplication — use
+        # pltpu.repeat on reshaped 2D views
+        xw = pltpu.repeat(x.reshape(b * h * w, 1, c), 2, 1)
+        xw = xw.reshape(b, h, 2 * w, c)   # (.., w, 2, c) -> w-duplicated
+        xh = pltpu.repeat(xw.reshape(b * h, 1, 2 * w * c), 2, 1)
+        return xh.reshape(b * 2 * h * 2 * w, c)
     x = x.reshape(b, h, w, c)
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return x.reshape(b * (2 * h) * (2 * w), c)

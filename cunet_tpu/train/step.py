@@ -99,7 +99,14 @@ def make_sharded_train_step(
 ):
     """Compile ``train_step`` over a mesh: batch sharded (N over data, H over
     space), state replicated. XLA inserts the ICI all-reduce for grads and
-    the halo exchanges for spatially-partitioned convs."""
+    the halo exchanges for spatially-partitioned convs.
+
+    When the fused Pallas train kernels are active (cfg.use_pallas and
+    cfg.bn_tile > 0, the apply path is a tpu_custom_call GSPMD cannot
+    partition), dispatches to the explicit shard_map + psum construction
+    instead."""
+    if cfg.use_pallas and cfg.bn_tile > 0 and apply_fn is None:
+        return make_shardmap_train_step(mesh, cfg, tx, donate=donate)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
@@ -110,6 +117,65 @@ def make_sharded_train_step(
         out_shardings=(rep, {"loss": rep, "last_out": bsh}),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_shardmap_train_step(
+    mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *,
+    donate: bool = True, apply_fn=None,
+):
+    """Data-parallel train step as an explicit shard_map: each device runs
+    the full step on its batch shard (through the fused Pallas train
+    kernels), then gradients / loss / BN state pmean over the data axis.
+
+    This is the multi-chip construction for model paths GSPMD cannot
+    partition (Pallas kernels are opaque custom-calls): collectives are
+    explicit, so XLA never has to slice inside the kernel. Semantics match
+    the GSPMD step exactly — ghost-BN normalization is already per-tile
+    (cfg.bn_tile), and pmean of the per-shard tile-averaged running stats
+    equals the global tile average. DataParallel analog: ref:cu-net.py:59.
+
+    The ``space`` axis must be 1 — Pallas kernels do not exchange spatial
+    halos across shards."""
+    from jax.sharding import PartitionSpec as P
+
+    from cunet_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+    if mesh.shape.get(SPACE_AXIS, 1) != 1:
+        raise ValueError(
+            "the Pallas train path shards over data only; build the mesh "
+            f"with sp=1 (got space={mesh.shape[SPACE_AXIS]})")
+    if apply_fn is None:
+        apply_fn = _default_apply(cfg)
+
+    bspec = {"image": P(DATA_AXIS), "heatmap": P(DATA_AXIS)}
+
+    def body(state, batch):
+        def loss_fn(params):
+            outs, new_bn = apply_fn(
+                params, state.bn_state, batch["image"], train=True)
+            return intermediate_mse(outs, batch["heatmap"]), (new_bn, outs[-1])
+
+        (loss, (new_bn, last_out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        pm = lambda t: jax.tree.map(
+            lambda x: jax.lax.pmean(x, DATA_AXIS), t)
+        grads = pm(grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_bn = pm(new_bn)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, bn_state=new_bn,
+            opt_state=new_opt)
+        return new_state, {"loss": loss, "last_out": last_out}
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), bspec),
+        out_specs=(P(), {"loss": P(), "last_out": P(DATA_AXIS)}),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
 def make_sharded_eval_step(mesh: Mesh, cfg: ModelConfig):

@@ -228,3 +228,60 @@ class TestGraftEntry:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mod.dryrun_multichip(8)
+
+
+class TestShardmapPallasStep:
+    """Data-parallel training with the fused Pallas train kernels goes
+    through shard_map + explicit pmean (GSPMD cannot partition the
+    tpu_custom_call); SPMD must equal single-device execution."""
+
+    def test_shardmap_pallas_spmd_matches_single_device(self, monkeypatch):
+        import cunet_tpu.kernels.train_slot as ts
+
+        orig = ts.fused_slot_train
+        monkeypatch.setattr(
+            ts, "fused_slot_train",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+        assert len(jax.devices()) >= 4, "conftest must force 8 CPU devices"
+        mesh = make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, bn_tile=2,
+                          use_pallas=True, bn_dtype="compute", remat="none",
+                          compute_dtype="float32", **SMALL)
+        tcfg = TrainConfig(lr=1e-3)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(tcfg)
+        state = create_train_state(params, bn, tx)
+        state = jax.device_put(state, replicated(mesh))
+        batch_np = {
+            "image": np.asarray(
+                jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))),
+            "heatmap": np.asarray(
+                jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 4))),
+        }
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in batch_np.items()}
+
+        # dispatches to make_shardmap_train_step (use_pallas + bn_tile)
+        step = make_sharded_train_step(mesh, cfg, tx, donate=False)
+        new_state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert metrics["last_out"].shape == (8, 8, 8, 4)
+
+        # single-device reference: same ghost-BN tiling (contiguous shards
+        # of 2 == bn_tile groups), so numbers must match
+        ref_state, ref_metrics = train_step(
+            jax.device_put(state, jax.devices()[0]), batch_np,
+            cfg=cfg, tx=tx)
+        np.testing.assert_allclose(
+            float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5)
+        # RMSprop divides by sqrt(nu)+eps with tiny nu at step 1, amplifying
+        # psum-vs-serial reduction-order noise — tolerance reflects that
+        for x, y in zip(jax.tree_util.tree_leaves(new_state.params),
+                        jax.tree_util.tree_leaves(ref_state.params)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=5e-3, atol=1e-3)
+        for x, y in zip(jax.tree_util.tree_leaves(new_state.bn_state),
+                        jax.tree_util.tree_leaves(ref_state.bn_state)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)

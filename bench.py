@@ -133,6 +133,10 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
 
     quant = None
     if int8:
+        # the int8 tera-kernel carries packed weights + per-channel scales
+        # alongside the bf16 plumbing; batch-tile 2 misses v5e VMEM by ~8 MB
+        import os
+        os.environ.setdefault("CUNET_TERA_BATCH_TILE", "1")
         # the quantized flagship on the int8 MXU (real low-bit inference —
         # the reference only simulates it, ref:utils/quantize.py:127-149)
         from cunet_tpu.config import QuantConfig

@@ -392,6 +392,10 @@ def default_batch_tile(n: int, h0: int, layer_num: int) -> int:
         if n % bt:
             raise ValueError(f"batch {n} not divisible by batch tile {bt}")
         return bt
+    if layer_num > 8 and h0 >= 64:
+        # K=16 keeps ~2x the resident weights; bt=2 exceeds v5e VMEM
+        # (measured: 176 MB of 128 MB)
+        return 1
     budget = 2 if h0 >= 64 else 8
     bt = 1
     for cand in (2, 4, 8):

@@ -1164,6 +1164,8 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
     Requires cfg.bn_tile > 0 (the grid batch tile = BN stat group).
     """
     h0 = y.shape[1]
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # Mosaic only targets TPU; CPU runs interpret mode
     fn = _make_slot_fn(
         cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
         cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),

@@ -454,24 +454,31 @@ def _dot_dw(x, d_out, dtype):
     )
 
 
-def _affine_bwd(x, bn, mu, var, d_z, dtype, eps):
+def _affine_bwd(x, bn, mu, var, d_z, dtype, eps, z=None):
     """Backward through ``z = relu(batchnorm_train(x))`` given d_z (fp32).
 
     Ghost BN: stats are functions of this tile's x, so the full batch-norm
     jacobian (mean-subtraction terms) applies within the tile.
+    ``z`` (the forward's relu output, if already recomputed) supplies the
+    relu mask directly — z = max(a, 0) in the compute dtype, so z > 0 is
+    exactly a > 0 and the affine need not be re-evaluated.
     Returns (d_x fp32, d_bn (2,C) [d_gamma; d_beta] fp32).
     """
     inv = jax.lax.rsqrt(var + eps)
     ig = inv * bn[0]
-    shift = bn[1] - mu * ig
-    a = x.astype(dtype) * ig.astype(dtype) + shift.astype(dtype)
-    d_a = jnp.where(a.astype(jnp.float32) > 0, d_z, 0.0)
+    if z is None:
+        shift = bn[1] - mu * ig
+        z = jnp.maximum(
+            x.astype(dtype) * ig.astype(dtype) + shift.astype(dtype), 0)
+    d_a = jnp.where(z.astype(jnp.float32) > 0, d_z, 0.0)
     xh = (x.astype(jnp.float32) - mu) * inv
     d_beta = jnp.sum(d_a, axis=0)
     d_gamma = jnp.sum(d_a * xh, axis=0)
-    d_xh = d_a * bn[0]
-    d_x = inv * (d_xh - jnp.mean(d_xh, axis=0)
-                 - xh * jnp.mean(d_xh * xh, axis=0))
+    # mean(d_xh) = gamma*d_beta/m and mean(d_xh*xh) = gamma*d_gamma/m with
+    # d_xh = d_a*gamma — the classic 2-reduction BN backward; no extra
+    # column reductions or d_xh materialization needed
+    m = jnp.float32(x.shape[0])
+    d_x = ig * (d_a - d_beta / m - xh * (d_gamma / m))
     return d_x, jnp.stack([d_gamma, d_beta])
 
 
@@ -486,7 +493,7 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
                     + shift.astype(dtype), 0)
     dW = _dot_dw(z, d_out, dtype)
     d_z = _dot_dx(d_out, w, dtype)
-    d_x, d_bn = _affine_bwd(x, bn, mu, var, d_z, dtype, eps)
+    d_x, d_bn = _affine_bwd(x, bn, mu, var, d_z, dtype, eps, z=z)
     return d_x, dW, d_bn
 
 
@@ -594,12 +601,15 @@ def _cat_canon(parts):
     return jnp.concatenate(list(parts), axis=-1)
 
 
-def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead):
+def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead,
+                    out32=None):
     """Recompute block ``pos`` internals ONCE from its input parts.
 
     Returns dict(x_cat, z1, yb, z2, out32, x2[, ahead]) shared by the pool
     mask / head backward AND the block backward — the backward kernels must
-    not run this twice per block."""
+    not run this twice per block. ``out32`` may be supplied from the
+    forward's saved outputs (the FIFO pushes), skipping the 3x3-conv
+    forward recompute entirely."""
     bt = meta["bt"]
     dtype = meta["dtype"]
     eps = meta["eps"]
@@ -610,7 +620,9 @@ def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead):
     yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
     z2 = _norm_relu(yb, wset["bn2"], stats3["s2"][0], stats3["s2"][1],
                     dtype, eps)
-    out32 = _conv3x3(z2, wset["w3"], bt, h, h, mode="scatter").astype(dtype)
+    if out32 is None:
+        out32 = _conv3x3(z2, wset["w3"], bt, h, h,
+                         mode="scatter").astype(dtype)
     x2 = jnp.concatenate([x_cat, out32], axis=-1)
     vals = dict(x_cat=x_cat, z1=z1, yb=yb, z2=z2, out32=out32, x2=x2)
     if need_ahead:
@@ -658,12 +670,14 @@ def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
     d_z2, dW3 = _conv3x3_bwd(z2, wset["w3"], d_out32, bt, h, h, dtype)
     acc(dW_refs_b["w3"], dW3)
     # bn2 backward
-    d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps)
+    d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps,
+                             z=z2)
     acc(dW_refs_b["bn2"], dbn2)
     # bottleneck dot + bn1 backward
     dW_b = _dot_dw(z1, d_yb, dtype)
     d_z1 = _dot_dx(d_yb, wset["w_b"], dtype)
-    d_x1, dbn1 = _affine_bwd(x_cat, wset["bn1"], mu1, var1, d_z1, dtype, eps)
+    d_x1, dbn1 = _affine_bwd(x_cat, wset["bn1"], mu1, var1, d_z1, dtype, eps,
+                             z=z1)
     acc(dW_refs_b["w_b"], dW_b)
     acc(dW_refs_b["bn1"], dbn1)
     d_all = d_x_cat + d_x1
@@ -707,6 +721,7 @@ def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
     bn_h, w_h = nxt()[...], nxt()[...]
     up_pre = [flat(nxt()) for _ in range(nb)]
     skips = [flat(nxt()) for _ in range(nb)]
+    out32_vals = {pos: flat(nxt()) for pos in U}
     stats3 = {pos: {k: nxt()[0] for k in ("s1", "s2", "sa")} for pos in U}
     head_stat = nxt()[0]
     d_y_out = flat(nxt())
@@ -736,7 +751,8 @@ def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
         h = plan[pos]["res"]
         vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
                                wsets[pos], stats3[pos],
-                               need_ahead=pos == 2 * nb)
+                               need_ahead=pos == 2 * nb,
+                               out32=out32_vals[pos])
         if pos == 2 * nb:
             # head backward rides the last up block (its input is y_out)
             d_h_in, dW_h, dbn_h = _stage_bwd(
@@ -789,6 +805,7 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
     pooled = [flat(nxt()) for _ in range(nb)]
+    out32_vals = {pos: flat(nxt()) for pos in D}
     inter_stat = nxt()[0] if has_inter else None
     stats3 = {}
     for pos in D:
@@ -838,7 +855,8 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
     if _stopped():
         return
     neck_vals = _block_fwd_vals(meta, nb, block_input(nb), fifo_vals[nb],
-                                wsets[nb], stats3[nb], need_ahead=False)
+                                wsets[nb], stats3[nb], need_ahead=False,
+                                out32=out32_vals[nb])
     d_pool = _block_bwd_generic(
         meta, nb, neck_vals, fifo_vals[nb], wsets[nb], stats3[nb],
         dW_refs[nb], d_fifo_refs[nb], d_out32_ext[nb],
@@ -852,7 +870,8 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         # one shared recompute: ahead feeds the pool mask (ahead = pre-pool;
         # pooled[pos] saved), the rest feeds the block backward
         vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
-                               wsets[pos], stats3[pos], need_ahead=True)
+                               wsets[pos], stats3[pos], need_ahead=True,
+                               out32=out32_vals[pos])
         d_ahead = _pool_bwd(d_pool, vals["ahead"], pooled[pos], h, h, bt)
         d_pool = _block_bwd_generic(
             meta, pos, vals, fifo_vals[pos], wsets[pos],
@@ -869,7 +888,7 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         dW_i = _dot_dw(z_i, d_y2, dtype)
         d_zi = _dot_dx(d_y2, w_i, dtype)
         d_xi, dbn_i = _affine_bwd(x_cat_i, bn_i, mu_i, var_i, d_zi,
-                                  dtype, eps)
+                                  dtype, eps, z=z_i)
         acc(dW_inter[1], dW_i)
         acc(dW_inter[0], dbn_i)
         d_y_ref[...] = d_xi[:, :c].astype(dtype).reshape(bt, h0, h0, c)
@@ -991,6 +1010,8 @@ def slot_train_bwd(
     for a in saved["up_pre"] + saved["skips"]:
         A.add(a, xspec)
     for pos in U:
+        A.add(saved["out32s"][pos], xspec)
+    for pos in U:
         for k in ("s1", "s2", "sa"):
             A.add(saved["stats"][per_pos_stat[pos][k]], statspec)
     A.add(saved["stats"][head_stat_i], statspec)
@@ -1049,6 +1070,8 @@ def slot_train_bwd(
         B.add_wset(pos)
     for a in saved["pooled"]:
         B.add(a, xspec)
+    for pos in D:
+        B.add(saved["out32s"][pos], xspec)
     if has_inter:
         B.add(saved["stats"][inter_stat_i], statspec)
     for pos in D:
@@ -1121,6 +1144,9 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret):
             y, list(inter_fifo), [list(f) for f in fifos], W,
             meta=meta, interpret=interpret,
         )
+        # the backward reuses the per-position conv outputs instead of
+        # recomputing the 3x3 conv forward
+        saved = dict(saved, out32s=list(out32s))
         if has_inter:
             outs = (y_out, head, inter_out, tuple(out32s),
                     tuple(saved["stats"]))

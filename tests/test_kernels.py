@@ -132,3 +132,21 @@ class TestDualAdapterKernel:
         rs = fused_bottleneck_infer(feats, inv_s, sh_s, w_s, interpret=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(ra), rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(s), np.asarray(rs), rtol=2e-5, atol=2e-5)
+
+
+class TestBatchTileSelection:
+    """default_batch_tile must respect VMEM: K=16 keeps ~2x resident
+    weights and OOMs at bt=2 (measured 176 MB of 128 MB on v5e)."""
+
+    def test_k8_prefers_two(self):
+        from cunet_tpu.kernels.fused_model import default_batch_tile
+        assert default_batch_tile(256, 64, 8) == 2
+
+    def test_k16_drops_to_one(self):
+        from cunet_tpu.kernels.fused_model import default_batch_tile
+        assert default_batch_tile(256, 64, 16) == 1
+
+    def test_env_override(self, monkeypatch):
+        from cunet_tpu.kernels.fused_model import default_batch_tile
+        monkeypatch.setenv("CUNET_TERA_BATCH_TILE", "4")
+        assert default_batch_tile(256, 64, 8) == 4

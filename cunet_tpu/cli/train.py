@@ -234,6 +234,13 @@ def run_training(opt, exp_dir: str) -> dict:
             "=> note: --use_pallas is ignored on the quantized eval path "
             "(fused block/slot kernels skip the activation quantizers)"
         )
+    from cunet_tpu.models.cu_net import _mosaic_ok
+    if use_pallas and not _mosaic_ok(cfg):
+        log.print_log(
+            "=> note: --use_pallas needs init_chan_num >= 128 to "
+            "Mosaic-compile on TPU (tiny debug widths hit unsupported "
+            "shape casts); using the lax path"
+        )
 
     ckpt = Checkpoint(exp_dir)
     history = TrainHistory("min" if task == "face" else "max",

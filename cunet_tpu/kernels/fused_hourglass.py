@@ -178,10 +178,12 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
     return ahead, skip, out32
 
 
-# max2step measures +3.3% end-to-end over the 6D double-max on v5e;
-# repeat-based upsample measures 2% slower than the broadcast (rejected)
+# max2step measures +3.3% end-to-end over the 6D double-max on v5e.
+# cat upsample == broadcast upsample in speed at real dims (2816 vs 2818
+# img/s) but the broadcast reshape is an unsupported Mosaic shape cast at
+# small channel counts (c=16 test configs); repeat is 2% slower (rejected).
 _POOL_MODE = os.environ.get("CUNET_POOL_MODE", "max2step")
-_UPS_MODE = os.environ.get("CUNET_UPS_MODE", "bcast")
+_UPS_MODE = os.environ.get("CUNET_UPS_MODE", "cat")
 
 
 def _maxpool2(x, h, w, b=1):

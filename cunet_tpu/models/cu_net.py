@@ -238,6 +238,18 @@ def _bn_nd(cfg):
     return jnp.dtype(cfg.compute_dtype) if cfg.bn_dtype == "compute" else None
 
 
+def _mosaic_ok(cfg) -> bool:
+    """Whether the fused Pallas kernels can Mosaic-compile for this config.
+
+    Tiny debug channel widths (init_chan_num < 128, below one lane tile)
+    hit "infer-vector-layout: unsupported shape cast" in the in-kernel
+    pool/upsample reshapes on real TPU; the flagship configs (c=128) are
+    fine. Interpret mode on CPU (how the tests exercise the kernels) has
+    no such limit. use_pallas on unsupported configs silently takes the
+    lax path (the CLI prints a note)."""
+    return cfg.init_chan_num >= 128 or jax.default_backend() == "cpu"
+
+
 def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train,
                       quant=None):
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
@@ -245,7 +257,7 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
     s = state["norm"]
     if (not train) and quant is not None and quant.enabled and quant.int8_infer:
         return _int8_bottleneck_infer(p, s, feats, quant), {"norm": s}
-    if train and cfg.use_pallas and not cfg.bn_tile:
+    if train and cfg.use_pallas and not cfg.bn_tile and _mosaic_ok(cfg):
         # fused train kernel: O(1) residuals, recompute backward (subsumes
         # the remat=bottleneck policy); ghost-BN (bn_tile) goes through the
         # lax path or the whole-slot train kernel instead
@@ -254,7 +266,7 @@ def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train
         out, new_s = dense_bottleneck_remat(list(feats), p, s, train=train,
                                             norm_dtype=_bn_nd(cfg),
                                             tile=cfg.bn_tile)
-    elif not train and cfg.use_pallas:
+    elif not train and cfg.use_pallas and _mosaic_ok(cfg):
         out, new_s = dense_bottleneck_infer_pallas(list(feats), p, s)
     else:
         out, new_s = dense_bottleneck(list(feats), p, s, train=train,
@@ -868,12 +880,14 @@ def _apply_slots_scanned(
         p, s, rk = xs
         r = rk if rng is not None else None
 
-        if train and cfg.use_pallas and cfg.bn_tile > 0 and quant is None:
+        if train and cfg.use_pallas and cfg.bn_tile > 0 and quant is None \
+                and _mosaic_ok(cfg):
             # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
             y, new_f, hm, new_ss = _fused_slot_train(p, s, y, f, cfg=cfg)
             return (y, new_f), {"state": new_ss, "head_out": hm}
 
-        if (not train) and cfg.use_pallas and quant is None:
+        if (not train) and cfg.use_pallas and quant is None \
+                and _mosaic_ok(cfg):
             # fully-fused slot: one launch for the whole hourglass when
             # pallas_hourglass, else one launch per block
             if cfg.pallas_hourglass:
@@ -1121,7 +1135,7 @@ def apply_cu_net(
         and quant.int8_impl == "pallas"
     )
     if (not train) and cfg.use_pallas and cfg.pallas_whole_model \
-            and (quant is None or int8_whole):
+            and (quant is None or int8_whole) and _mosaic_ok(cfg):
         outs = _fused_model_eval(params, state, y, cfg=cfg,
                                  quant=quant if int8_whole else None)
         new_state["hg"] = state["hg"]
@@ -1157,9 +1171,9 @@ def apply_cu_net(
     # fused eval kernels fold BN but not the activation quantizers: they
     # must not engage for quantized evaluation
     fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
-        and quant is None
+        and quant is None and _mosaic_ok(cfg)
     fused_train = train and cfg.use_pallas and cfg.bn_tile > 0 \
-        and quant is None
+        and quant is None and _mosaic_ok(cfg)
     for i in range(unrolled_upto):
         if fused_train:
             slot_p = _slot_subtree(params, i, cfg)

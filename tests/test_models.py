@@ -203,3 +203,21 @@ class TestScanEquivalence:
         # near-zero grads see ~1e-5 absolute noise
         for a, b in zip(jax.tree_util.tree_leaves(g_s), jax.tree_util.tree_leaves(g_u)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+class TestMosaicGate:
+    """Tiny channel widths must fall back to the lax path on real TPU
+    (Mosaic 'unsupported shape cast'); CPU interpret keeps running them."""
+
+    def test_tiny_width_gated_off_tpu(self, monkeypatch):
+        from cunet_tpu.models import cu_net as m
+
+        tiny = ModelConfig(layer_num=2, order=1, loss_num=2, class_num=4,
+                           neck_size=2, growth_rate=8, init_chan_num=16,
+                           num_blocks=2)
+        flag = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8)
+        assert m._mosaic_ok(tiny)          # cpu backend in tests
+        assert m._mosaic_ok(flag)
+        monkeypatch.setattr(m.jax, "default_backend", lambda: "tpu")
+        assert not m._mosaic_ok(tiny)
+        assert m._mosaic_ok(flag)

@@ -881,7 +881,9 @@ def _apply_slots_scanned(
         r = rk if rng is not None else None
 
         if train and cfg.use_pallas and cfg.bn_tile > 0 and quant is None \
-                and _mosaic_ok(cfg):
+                and cfg.drop_rate == 0 and _mosaic_ok(cfg):
+            # (drop_rate > 0 must use the lax path — the fused kernels
+            # do not implement dropout)
             # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
             y, new_f, hm, new_ss = _fused_slot_train(p, s, y, f, cfg=cfg)
             return (y, new_f), {"state": new_ss, "head_out": hm}
@@ -1173,7 +1175,7 @@ def apply_cu_net(
     fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
         and quant is None and _mosaic_ok(cfg)
     fused_train = train and cfg.use_pallas and cfg.bn_tile > 0 \
-        and quant is None and _mosaic_ok(cfg)
+        and quant is None and cfg.drop_rate == 0 and _mosaic_ok(cfg)
     for i in range(unrolled_upto):
         if fused_train:
             slot_p = _slot_subtree(params, i, cfg)

@@ -114,7 +114,7 @@ def bench_train():
         "unit": "images/sec",
         "vs_baseline": round(train_flops_per_image(cfg) * bs / dt
                              / device_peak_flops(), 4),
-    }))
+    }), flush=True)
 
 
 def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
@@ -131,12 +131,15 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
     batch = 256
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
+    import os
     quant = None
-    if int8:
+    bt_env_set = False
+    if int8 and "CUNET_TERA_BATCH_TILE" not in os.environ:
         # the int8 tera-kernel carries packed weights + per-channel scales
         # alongside the bf16 plumbing; batch-tile 2 misses v5e VMEM by ~8 MB
-        import os
-        os.environ.setdefault("CUNET_TERA_BATCH_TILE", "1")
+        os.environ["CUNET_TERA_BATCH_TILE"] = "1"
+        bt_env_set = True
+    if int8:
         # the quantized flagship on the int8 MXU (real low-bit inference —
         # the reference only simulates it, ref:utils/quantize.py:127-149)
         from cunet_tpu.config import QuantConfig
@@ -174,6 +177,8 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
         times.append((time.perf_counter() - t0) / n_iters)
         assert np.isfinite(s_last)
 
+    if bt_env_set:
+        del os.environ["CUNET_TERA_BATCH_TILE"]  # don't leak into later runs
     dt = statistics.median(times)
     imgs_per_sec = batch / dt
     achieved = flops_per_batch / dt
@@ -187,12 +192,14 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
                 "unit": "images/sec",
                 "vs_baseline": round(roofline_frac, 4),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
     import sys
+    import traceback
 
     if "--train" in sys.argv:
         bench_train()
@@ -201,4 +208,19 @@ if __name__ == "__main__":
     elif "--int8" in sys.argv:  # quantized flagship, real int8 MXU execution
         main(metric_tag="cu_net8_int8", int8=True)
     else:
+        # Default (driver) mode: the full scoreboard. The driver parses the
+        # LAST line, so the headline bf16 inference metric prints last;
+        # training, the K=16 human flagship, and int8 serving print before
+        # it (all land in the recorded tail). Auxiliary metrics are guarded
+        # so a failure there cannot take down the headline.
+        for label, fn in (
+            ("train", bench_train),
+            ("k16", lambda: main(layer_num=16, metric_tag="cu_net16")),
+            ("int8", lambda: main(metric_tag="cu_net8_int8", int8=True)),
+        ):
+            try:
+                fn()
+            except Exception:
+                print(f"bench[{label}] failed:", file=sys.stderr)
+                traceback.print_exc()
         main()

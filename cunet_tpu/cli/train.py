@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "tile)")
     p.add_argument("--use_pallas", type=str2bool, default=False,
                    help="fused Pallas kernels on the eval path (TPU only)")
+    p.add_argument("--drop_rate", type=float, default=0.0,
+                   help="dense-layer dropout rate (ref:models/cu_net.py:63-64;"
+                        " routes training to the lax path when > 0 — the "
+                        "fused train kernels do not implement dropout)")
     p.add_argument("--trace_dir", type=str, default="",
                    help="capture a jax.profiler trace of epoch 1 to this dir")
     p.add_argument("--dp", type=int, default=0,
@@ -159,6 +163,7 @@ def run_training(opt, exp_dir: str) -> dict:
         use_pallas=use_pallas,
         bn_dtype=opt.bn_dtype,
         bn_tile=opt.bn_tile,
+        drop_rate=opt.drop_rate,
     )
     qcfg = QuantConfig(
         bits_w=opt.bits_w, bits_i=opt.bits_i, bits_g=opt.bits_g,
@@ -204,6 +209,8 @@ def run_training(opt, exp_dir: str) -> dict:
             growth_rate=opt.growth_rate, init_chan_num=opt.init_chan_num,
             class_num=opt.class_num, num_blocks=opt.num_blocks,
             compute_dtype=opt.compute_dtype, remat=opt.remat,
+            drop_rate=opt.drop_rate,
+            bn_dtype=opt.bn_dtype, bn_tile=opt.bn_tile,
         )
         params, bn = init_dense_unet(jax.random.PRNGKey(opt.seed), du_cfg)
         apply_fn = dense_unet_apply(du_cfg)
@@ -223,7 +230,10 @@ def run_training(opt, exp_dir: str) -> dict:
     if qcfg.enabled:
         step_fn = make_sharded_quant_train_step(mesh, cfg, qcfg, tx, donate=False)
     else:
-        step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False, apply_fn=apply_fn)
+        drop_rng = (jax.random.PRNGKey(opt.seed + 1)
+                    if opt.model == "cu_net" and cfg.drop_rate > 0 else None)
+        step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False,
+                                          apply_fn=apply_fn, rng=drop_rng)
     if opt.use_pallas and not use_pallas:
         log.print_log(
             "=> note: --use_pallas requires a TPU backend "
@@ -240,6 +250,11 @@ def run_training(opt, exp_dir: str) -> dict:
             "=> note: --use_pallas needs init_chan_num >= 128 to "
             "Mosaic-compile on TPU (tiny debug widths hit unsupported "
             "shape casts); using the lax path"
+        )
+    if use_pallas and cfg.bn_tile > 0 and cfg.drop_rate > 0:
+        log.print_log(
+            "=> note: --drop_rate > 0 routes training to the lax path "
+            "(the fused Pallas train kernels do not implement dropout)"
         )
 
     ckpt = Checkpoint(exp_dir)

@@ -10,9 +10,12 @@ one whole-slot backward exceeds v5e's 128 MB VMEM), with train-mode
 batch-norm statistics computed in VMEM.
 
 Batch statistics are per grid tile (``bn_tile`` images): ghost/per-replica
-BN, the exact semantics of the reference's DataParallel training where every
-BN layer normalizes with its GPU shard's statistics (ref:cu-net.py:59,
-models/cu_net_prev_version.py:607-637). The lax oracle is
+BN, matching how the reference's DataParallel training NORMALIZES — every
+BN layer uses its GPU shard's statistics (ref:cu-net.py:59,
+models/cu_net_prev_version.py:607-637). Running-stat persistence
+deliberately differs: torch DataParallel keeps replica 0's running buffers
+only, while here they update with the tile-averaged mean / unbiased
+variance (see ops.layers.batch_norm). The lax oracle is
 ``apply_cu_net`` with ``cfg.bn_tile = bt`` and ``bn_dtype="compute"``,
 asserted in tests/test_train_slot.py.
 
@@ -549,23 +552,35 @@ def _upsample2_cat(x, h, w, bt):
 
 
 def _pool_bwd(d_pooled, ahead, pooled, h, w, bt):
-    """Backward of 2x2 maxpool: gradient to every element equal to the
-    window max (jnp.max semantics; ties are measure-zero for matmul
-    outputs). Quadrant-wise same-shape fp32 compares — Mosaic rejects both
-    broadcast-shaped masks and bf16 equality."""
+    """Backward of 2x2 maxpool: the full cotangent routes to exactly ONE
+    window element — the first (row-major) quadrant achieving the window
+    max, torch MaxPool2d / lax select_and_scatter semantics.
+
+    The max is recomputed from ``ahead`` (the backward's own recompute)
+    rather than compared against the forward kernel's saved ``pooled``:
+    comparing values across two Mosaic programs risks a rounding-divergent
+    recompute matching NO element (silently zeroing the window's gradient),
+    and exact bf16 ties would double-count. Self-consistent max + first-
+    winner masking eliminates both hazards. Quadrant-wise same-shape fp32
+    compares — Mosaic rejects broadcast-shaped masks and bf16 equality."""
+    del pooled  # forward-saved values are NOT compared against (see above)
     c = ahead.shape[-1]
     h2, w2 = h // 2, w // 2
     a6 = ahead.astype(jnp.float32).reshape(bt, h2, 2, w2, 2, c)
-    p = pooled.astype(jnp.float32).reshape(bt, h2, w2, c)
+    quads = [a6[:, :, i, :, j, :] for i in range(2) for j in range(2)]
+    p = jnp.maximum(jnp.maximum(quads[0], quads[1]),
+                    jnp.maximum(quads[2], quads[3]))
     dp = d_pooled.astype(jnp.float32).reshape(bt, h2, w2, c)
-    cols = []
-    for i in range(2):
-        rows = []
-        for j in range(2):
-            q = a6[:, :, i, :, j, :]
-            rows.append(jnp.where(q == p, dp, 0.0))
-        cols.append(jnp.stack(rows, axis=3))      # (bt, h2, w2, 2, c)
-    d6 = jnp.stack(cols, axis=2)                  # (bt, h2, 2, w2, 2, c)
+    taken = None
+    masks = []
+    for q in quads:
+        hit = (q == p).astype(jnp.float32)
+        win = hit if taken is None else hit * (1.0 - taken)
+        taken = win if taken is None else taken + win
+        masks.append(win * dp)
+    cols = [jnp.stack([masks[0], masks[1]], axis=3),
+            jnp.stack([masks[2], masks[3]], axis=3)]  # (bt, h2, w2, 2, c)
+    d6 = jnp.stack(cols, axis=2)                      # (bt, h2, 2, w2, 2, c)
     return d6.reshape(bt * h * w, c)
 
 

@@ -250,6 +250,16 @@ def _mosaic_ok(cfg) -> bool:
     return cfg.init_chan_num >= 128 or jax.default_backend() == "cpu"
 
 
+def fused_train_ok(cfg) -> bool:
+    """Whether training dispatches to the fused whole-slot Pallas train
+    kernels. Mirrored by ``train.step.make_sharded_train_step`` so configs
+    that fall back to the lax path (small widths, dropout) keep the GSPMD
+    step instead of the shard_map construction (which forbids spatial
+    meshes and threads no dropout rng)."""
+    return (cfg.use_pallas and cfg.bn_tile > 0 and cfg.drop_rate == 0
+            and _mosaic_ok(cfg))
+
+
 def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train,
                       quant=None):
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
@@ -880,8 +890,7 @@ def _apply_slots_scanned(
         p, s, rk = xs
         r = rk if rng is not None else None
 
-        if train and cfg.use_pallas and cfg.bn_tile > 0 and quant is None \
-                and cfg.drop_rate == 0 and _mosaic_ok(cfg):
+        if train and quant is None and fused_train_ok(cfg):
             # (drop_rate > 0 must use the lax path — the fused kernels
             # do not implement dropout)
             # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
@@ -1174,8 +1183,7 @@ def apply_cu_net(
     # must not engage for quantized evaluation
     fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
         and quant is None and _mosaic_ok(cfg)
-    fused_train = train and cfg.use_pallas and cfg.bn_tile > 0 \
-        and quant is None and cfg.drop_rate == 0 and _mosaic_ok(cfg)
+    fused_train = train and quant is None and fused_train_ok(cfg)
     for i in range(unrolled_upto):
         if fused_train:
             slot_p = _slot_subtree(params, i, cfg)

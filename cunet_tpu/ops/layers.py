@@ -73,10 +73,13 @@ def batch_norm(
     backward (cfg.bn_dtype="compute").
 
     ``tile`` > 0 enables ghost/per-replica BN: batch statistics are computed
-    per contiguous group of ``tile`` images (the reference's DataParallel
-    runs BN per GPU shard, ref:cu-net.py:59). Running stats update with the
-    tile-averaged statistics (mean of per-tile means == the global mean;
-    variance is the average of per-tile unbiased variances).
+    per contiguous group of ``tile`` images, matching how the reference's
+    DataParallel NORMALIZES (per GPU shard, ref:cu-net.py:59). Running stats
+    update with the tile-averaged statistics (mean of per-tile means == the
+    global mean; variance is the average of per-tile unbiased variances) —
+    a deliberate difference from torch DataParallel, which persists replica
+    0's running buffers only; checkpointed running-stat trajectories
+    therefore differ slightly from the reference's.
     """
     scale = params["scale"]
     bias = params["bias"]

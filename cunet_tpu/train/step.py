@@ -95,22 +95,27 @@ def eval_step(params, bn_state, batch: dict, *, cfg: ModelConfig, apply_fn=None)
 
 def make_sharded_train_step(
     mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *,
-    donate: bool = True, apply_fn=None,
+    donate: bool = True, apply_fn=None, rng: Optional[jax.Array] = None,
 ):
     """Compile ``train_step`` over a mesh: batch sharded (N over data, H over
     space), state replicated. XLA inserts the ICI all-reduce for grads and
     the halo exchanges for spatially-partitioned convs.
 
-    When the fused Pallas train kernels are active (cfg.use_pallas and
-    cfg.bn_tile > 0, the apply path is a tpu_custom_call GSPMD cannot
+    When the fused Pallas train kernels are active (models.cu_net.
+    fused_train_ok — the apply path is a tpu_custom_call GSPMD cannot
     partition), dispatches to the explicit shard_map + psum construction
-    instead."""
-    if cfg.use_pallas and cfg.bn_tile > 0 and apply_fn is None:
+    instead. Configs where the model itself falls back to lax (small
+    widths, drop_rate > 0) keep the GSPMD step so spatial meshes and the
+    dropout rng keep working."""
+    from cunet_tpu.models.cu_net import fused_train_ok
+
+    if fused_train_ok(cfg) and apply_fn is None:
         return make_shardmap_train_step(mesh, cfg, tx, donate=donate)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
-    fn = functools.partial(train_step, cfg=cfg, tx=tx, apply_fn=apply_fn)
+    fn = functools.partial(train_step, cfg=cfg, tx=tx, apply_fn=apply_fn,
+                           rng=rng)
     return jax.jit(
         fn,
         in_shardings=(rep, {"image": bsh, "heatmap": bsh}),

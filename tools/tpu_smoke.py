@@ -22,8 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MIN_TRAIN_IMGS_PER_SEC = 260.0   # record 375 (r2 fused train slots); ~0.7x
-MIN_EVAL16_IMGS_PER_SEC = 900.0  # record 1325 (r1 tera loop); fail below ~0.7x
+# Round-2 floors (VERDICT r2 #8): fail the gate below these. Records on r2
+# code: train 360-456 img/s (smoke config measured 360 on-chip), K=16 tera
+# eval 1423-1477. The axon relay varies ~10% day to day, so the floors sit
+# at the bottom of the record band, not under it.
+MIN_TRAIN_IMGS_PER_SEC = 360.0
+MIN_EVAL16_IMGS_PER_SEC = 1400.0
 
 
 def _fetch(x) -> float:
@@ -62,7 +66,8 @@ def smoke_train_k8() -> float:
     last = _fetch(losses[-1])
     dt = (time.perf_counter() - t0) / 9
     assert np.isfinite(last), f"non-finite loss at step 10: {last}"
-    assert last < first * 1.5, f"loss diverging: {first} -> {last}"
+    # the kernels must LEARN, not just run: r2 record 3.07 -> 1.36 in 10 steps
+    assert last < first, f"loss not decreasing over 10 steps: {first} -> {last}"
     ips = bs / dt
     print(f"train K=8 @256 bs24: {ips:.1f} img/s (loss {first:.4f} -> {last:.4f})")
     assert ips >= MIN_TRAIN_IMGS_PER_SEC, (

@@ -136,8 +136,9 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
     bt_env_set = False
     if int8 and "CUNET_TERA_BATCH_TILE" not in os.environ:
         # the int8 tera-kernel carries packed weights + per-channel scales
-        # alongside the bf16 plumbing; batch-tile 2 misses v5e VMEM by ~8 MB
-        os.environ["CUNET_TERA_BATCH_TILE"] = "1"
+        # alongside the bf16 plumbing; bt=2 fits since the HBM head/stem DMA
+        # (1703 img/s vs 1658 at bt1); bt=8 compiles too slowly to bench
+        os.environ["CUNET_TERA_BATCH_TILE"] = "2"
         bt_env_set = True
     if int8:
         # the quantized flagship on the int8 MXU (real low-bit inference —

@@ -393,10 +393,12 @@ def default_batch_tile(n: int, h0: int, layer_num: int) -> int:
             raise ValueError(f"batch {n} not divisible by batch tile {bt}")
         return bt
     if layer_num > 8 and h0 >= 64:
-        # K=16 keeps ~2x the resident weights; bt=2 exceeds v5e VMEM
-        # (measured: 176 MB of 128 MB)
-        return 1
-    budget = 2 if h0 >= 64 else 8
+        # K=16 keeps ~2x the resident weights; large tiles exceed v5e VMEM
+        return 2 if n % 2 == 0 else 1
+    # bt=8 fits v5e since the out heads + stem moved to HBM DMA and the
+    # high-res stages chunk to CUNET_TERA_CHUNK_ROWS (fused_model_buf):
+    # measured 3005 img/s at bt8 vs 2804 at bt2 (K=8 @256)
+    budget = 8
     bt = 1
     for cand in (2, 4, 8):
         if cand <= budget and n % cand == 0:
@@ -428,7 +430,11 @@ def fused_model_loop_infer(
     dtype = y_stem.dtype
     start = max(order, 1)
     S = layer_num - start
-    bt = batch_tile or default_batch_tile(n, h0, layer_num)
+    # this legacy impl keeps the whole (bt, K, h0, h0, cls) output
+    # VMEM-windowed, so it cannot take the large tiles the buf impl's HBM
+    # head DMA enables — cap at the round-2-safe tiles
+    safe = 1 if (layer_num > 8 and h0 >= 64) else 2
+    bt = batch_tile or min(safe, default_batch_tile(n, h0, layer_num))
 
     def xspec(a):
         return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),

@@ -28,6 +28,7 @@ channel planes).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Sequence
 
 import jax
@@ -76,6 +77,32 @@ def _affine_dot_i8(x, vec, w_i8, s: float):
     return acc.astype(jnp.float32) * (1.0 / s)
 
 
+def chunk_plan(bt: int, h0: int, num_blocks: int, rows_target: int = 0):
+    """Images per stage-chunk, by resolution.
+
+    The grid batch tile ``bt`` amortizes per-op fixed latency at the
+    M-starved low resolutions (8x8/4x4), but running the HIGH-res stages on
+    all ``bt`` images at once scales their transients (the scatter-conv tap
+    matrix, affine upcasts) linearly with bt — that is what capped the
+    round-2 kernel at bt=2 (bt=4 needed ~172 MB of 128 MB VMEM). Instead
+    every stage loops over image chunks sized so its row count stays around
+    ``rows_target`` (default 4096 — the largest level measured to fit v5e
+    VMEM at bt=8 with the HBM head/stem DMA): low-res stages take the whole
+    tile in one chunk, high-res stages split.
+    """
+    rows_target = rows_target or int(
+        os.environ.get("CUNET_TERA_CHUNK_ROWS", "4096"))
+    plan = {}
+    res = h0
+    for _ in range(num_blocks + 1):
+        ci = bt
+        while ci > 1 and ci * res * res > rows_target:
+            ci //= 2
+        plan[res] = ci
+        res //= 2
+    return plan
+
+
 def _model_buf_kernel(meta, *refs):  # noqa: C901
     nb = meta["num_blocks"]
     K = meta["layer_num"]
@@ -86,158 +113,245 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
     c = meta["chan"]
     g = meta["growth"]
     dtype = meta["dtype"]
+    chunks = meta["chunks"]          # res -> images per stage chunk
 
     bits_i = meta["bits_i"]          # None = float mode; else int8 execution
     s_i8 = None if not bits_i else float(2.0 ** (bits_i - 1))
 
     n_bufs = 2 * nb + 1
-    bufs = refs[-(n_bufs + 1):-1]   # down 0..nb-1, neck, up nb-1..0 scratch
-    inter_buf = refs[-1]
-    refs = refs[:-(n_bufs + 1)]
+    # scratch tail: down 0..nb-1, neck, up nb-1..0, intermedia, head staging,
+    # DMA semaphore
+    bufs = refs[-(n_bufs + 3):-3]
+    inter_buf, head_stage, head_sem = refs[-3], refs[-2], refs[-1]
+    refs = refs[:-(n_bufs + 3)]
 
-    it = iter(refs)
+    # refs = [y_stem, *weights, out] (inputs then outputs, scratch stripped)
+    y_stem_ref = refs[0]
+    out_ref = refs[-1]              # FULL (n, K, h0, h0, cls) array in HBM
+    it = iter(refs[1:-1])
     nxt = lambda: next(it)
+    img0 = pl.program_id(0) * bt    # first image of this grid step
 
-    y_stem = nxt()[...].reshape(bt * h0 * h0, -1)
+    def dma_head(u, ci, hm, slot):
+        """Ship one head chunk straight to HBM. Keeping the (bt, K, h0, h0,
+        cls) output VMEM-windowed cost 2 x bt x K x h0^2 x cls x 2B of VMEM
+        (64 MB at bt=4 / K=8 — the allocation that capped the batch tile);
+        staging one chunk and DMAing it out reduces that to one chunk.
+
+        Mosaic constraints shape the HBM layout: a memref slice must keep
+        the minor dim lane-aligned (cls=16 < 128 is not DMA-sliceable) and
+        lane-merging reshapes ((rows,16)->(..,h0*cls)) don't lower — so the
+        out array is (n, K, cls, h0*h0) and each image's head is 2-D
+        transposed (supported) into the staging buffer."""
+        m = h0 * h0
+        for im in range(ci):
+            head_stage[im] = jnp.transpose(hm[im * m:(im + 1) * m])
+        cp = pltpu.make_async_copy(
+            head_stage, out_ref.at[pl.ds(img0 + u * ci, ci), slot], head_sem)
+        cp.start()
+        cp.wait()
 
     def buf_at(pos):
         # traversal order: down j = pos j; neck = nb; up j = nb+1+(nb-1-j)
         return bufs[pos]
 
-    def run_slot(i, get_wset, get_inter, get_head):
+    def rows(res, u):
+        """Row slice of a (bt*res*res, C) buffer for image chunk u."""
+        ci = chunks[res]
+        m = ci * res * res
+        return slice(u * m, (u + 1) * m)
+
+    def run_slot(i, get_wset, get_inter, get_head, write_head):
         """i is the FIFO-phase index: min(i, order) entries present."""
         link = min(i, order)
-        h = w = h0
-        # ---- intermedia ----
-        if i == 0:
-            y = y_stem
-            if order > 0:
-                inter_buf[:, c:2 * c] = y.astype(dtype)
-        else:
-            kin = c + link * c
-            vec_p, w_p = get_inter()
-            y = _affine_dot(inter_buf, kin, vec_p, w_p, dtype).astype(dtype)
-            # rotate fifo left one c-block and push the adapter output
-            if i >= order and order > 0:
-                for s in range(order - 1):
-                    inter_buf[:, c * (1 + s):c * (2 + s)] = \
-                        inter_buf[:, c * (2 + s):c * (3 + s)][...]
-                inter_buf[:, c * order:c * (order + 1)] = y
-            elif order > 0:
-                inter_buf[:, c * (1 + i):c * (2 + i)] = y
 
-        def dense(pos, has_skip, is_up, h, w, y_val, skip_to=None):
-            """One block at buffer ``pos``; returns ahead (value)."""
+        # ---- intermedia (res h0): write output straight into down0 ----
+        d0 = buf_at(0)
+        for u in range(bt // chunks[h0]):
+            r = rows(h0, u)
+            if i == 0:
+                # y_stem lives in HBM ((n*h0*h0, c) 2-D so shapes line up);
+                # DMA the chunk straight into the scratch buffers — a VMEM
+                # window would cost 2 x bt x h0^2 x c x 2B (16.8 MB at bt=8)
+                m = chunks[h0] * h0 * h0
+                row0 = img0 * h0 * h0 + u * m
+                cp = pltpu.make_async_copy(
+                    y_stem_ref.at[pl.ds(row0, m)],
+                    d0.at[pl.ds(u * m, m), pl.ds(0, c)], head_sem)
+                cp.start()
+                cp.wait()
+                if order > 0:
+                    cp = pltpu.make_async_copy(
+                        y_stem_ref.at[pl.ds(row0, m)],
+                        inter_buf.at[pl.ds(u * m, m), pl.ds(c, c)], head_sem)
+                    cp.start()
+                    cp.wait()
+            else:
+                kin = c + link * c
+                vec_p, w_p = get_inter()
+                y = _affine_dot(inter_buf[r], kin, vec_p, w_p,
+                                dtype).astype(dtype)
+                d0[r, :c] = y
+                # rotate fifo left one c-block and push the adapter output
+                if i >= order and order > 0:
+                    for s in range(order - 1):
+                        inter_buf[r, c * (1 + s):c * (2 + s)] = \
+                            inter_buf[r, c * (2 + s):c * (3 + s)][...]
+                    inter_buf[r, c * order:c * (order + 1)] = y
+                elif order > 0:
+                    inter_buf[r, c * (1 + i):c * (2 + i)] = y
+
+        def dense(pos, has_skip, is_up, res, forward):
+            """One block at buffer ``pos``, chunked over images.
+
+            ``forward(u, ci, ahead)`` consumes each chunk's ahead value
+            (pool-write / upsample-write / head+inter write) at the
+            producer's chunk granularity."""
             buf = buf_at(pos)
             base = 2 * c if is_up else c      # channels before the fifo
-            if not is_up:
-                buf[:, :c] = y_val
             kin = base + link * g
             wset = get_wset(pos, has_skip)
-            if s_i8:
-                yb = _affine_dot_i8(buf[:, :kin], wset["vec_b"],
-                                    wset["w_b"], s_i8)
-                # int8 mode keeps BN2's full affine (scale can't fold into
-                # the {-1,0,+1} weights)
-                y2 = jnp.maximum(yb * wset["vec2"][0, :] + wset["vec2"][1, :],
-                                 0.0)
-                # conv2: quantized input (the reference's WIG insertion
-                # point) -> int8 scatter dot -> exact dequant
-                t = jax.lax.dot_general(
-                    _q8(y2, s_i8), wset["w3"], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * (1.0 / s_i8)
-                gch = wset["w3"].shape[-1] // 9
-                tp = jnp.pad(t.reshape(bt, h, w, 9 * gch),
-                             ((0, 0), (1, 1), (1, 1), (0, 0)))
-                acc = jnp.zeros((bt, h, w, gch), jnp.float32)
-                for dy in range(3):
-                    for dx in range(3):
-                        d = dy * 3 + dx
-                        acc = acc + tp[:, dy:dy + h, dx:dx + w,
-                                       d * gch:(d + 1) * gch]
-                out32 = acc.reshape(bt * h * w, gch).astype(dtype)
-            else:
-                yb = _bottleneck_val(buf[:, :kin], wset["vec_b"][:, :kin],
-                                     wset["w_b"][:kin], dtype)
-                # vec2 scale pre-folded into w_b (models/cu_net.py _hg_wset)
-                y2 = jnp.maximum(yb + wset["vec2"][1, :], 0.0).astype(dtype)
-                out32 = _conv3x3(y2, wset["w3"], bt, h, w).astype(dtype)
-            # out32 goes into its slot right after the *current* fifo tail so
-            # the adapter input [0 : kin+g] stays one contiguous slice
-            buf[:, kin:kin + g] = out32
-            x2k = kin + g
-            if s_i8:
-                ahead = _affine_dot_i8(buf[:, :x2k], wset["vec_a"],
-                                       wset["w_a"], s_i8).astype(dtype)
-                if has_skip:
-                    skip = _affine_dot_i8(buf[:, :x2k], wset["vec_s"],
-                                          wset["w_s"], s_i8).astype(dtype)
-                    skip_to[:, c:2 * c] = skip
-            else:
-                ahead = _bottleneck_val(buf[:, :x2k], wset["vec_a"][:, :x2k],
-                                        wset["w_a"][:x2k], dtype).astype(dtype)
-                if has_skip:
-                    skip = _bottleneck_val(buf[:, :x2k], wset["vec_s"][:, :x2k],
-                                           wset["w_s"][:x2k], dtype).astype(dtype)
-                    skip_to[:, c:2 * c] = skip
-            # FIFO update (ref:models/cu_net.py:133-137): growth phase keeps
-            # out32 where it landed; steady state rotates the g-blocks left
-            if i >= order and order > 0:
-                for s in range(order - 1):
-                    buf[:, base + g * s:base + g * (s + 1)] = \
-                        buf[:, base + g * (s + 1):base + g * (s + 2)][...]
-                buf[:, base + g * (order - 1):base + g * order] = out32
-            # if i < order: out32 already sits at fifo position ``link``
-            return ahead
+            ci = chunks[res]
+            for u in range(bt // ci):
+                r = rows(res, u)
+                if s_i8:
+                    yb = _affine_dot_i8(buf[r, :kin], wset["vec_b"],
+                                        wset["w_b"], s_i8)
+                    # int8 mode keeps BN2's full affine (scale can't fold
+                    # into the {-1,0,+1} weights)
+                    y2 = jnp.maximum(
+                        yb * wset["vec2"][0, :] + wset["vec2"][1, :], 0.0)
+                    # conv2: quantized input (the reference's WIG insertion
+                    # point) -> int8 scatter dot -> exact dequant
+                    t = jax.lax.dot_general(
+                        _q8(y2, s_i8), wset["w3"], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * (1.0 / s_i8)
+                    gch = wset["w3"].shape[-1] // 9
+                    tp = jnp.pad(t.reshape(ci, res, res, 9 * gch),
+                                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+                    acc = jnp.zeros((ci, res, res, gch), jnp.float32)
+                    for dy in range(3):
+                        for dx in range(3):
+                            d = dy * 3 + dx
+                            acc = acc + tp[:, dy:dy + res, dx:dx + res,
+                                           d * gch:(d + 1) * gch]
+                    out32 = acc.reshape(ci * res * res, gch).astype(dtype)
+                else:
+                    yb = _bottleneck_val(buf[r, :kin], wset["vec_b"][:, :kin],
+                                         wset["w_b"][:kin], dtype)
+                    # vec2 scale pre-folded into w_b (models/cu_net.py
+                    # _hg_wset)
+                    y2 = jnp.maximum(yb + wset["vec2"][1, :],
+                                     0.0).astype(dtype)
+                    out32 = _conv3x3(y2, wset["w3"], ci, res, res).astype(dtype)
+                # out32 goes into its slot right after the *current* fifo
+                # tail so the adapter input [0 : kin+g] stays one
+                # contiguous slice
+                buf[r, kin:kin + g] = out32
+                x2k = kin + g
+                if s_i8:
+                    ahead = _affine_dot_i8(buf[r, :x2k], wset["vec_a"],
+                                           wset["w_a"], s_i8).astype(dtype)
+                    if has_skip:
+                        skip = _affine_dot_i8(buf[r, :x2k], wset["vec_s"],
+                                              wset["w_s"], s_i8).astype(dtype)
+                        up_pos = nb + 1 + (nb - 1 - pos)
+                        buf_at(up_pos)[r, c:2 * c] = skip
+                else:
+                    ahead = _bottleneck_val(buf[r, :x2k],
+                                            wset["vec_a"][:, :x2k],
+                                            wset["w_a"][:x2k],
+                                            dtype).astype(dtype)
+                    if has_skip:
+                        skip = _bottleneck_val(buf[r, :x2k],
+                                               wset["vec_s"][:, :x2k],
+                                               wset["w_s"][:x2k],
+                                               dtype).astype(dtype)
+                        up_pos = nb + 1 + (nb - 1 - pos)
+                        buf_at(up_pos)[r, c:2 * c] = skip
+                # FIFO update (ref:models/cu_net.py:133-137): growth phase
+                # keeps out32 where it landed; steady state rotates left
+                if i >= order and order > 0:
+                    for s in range(order - 1):
+                        buf[r, base + g * s:base + g * (s + 1)] = \
+                            buf[r, base + g * (s + 1):base + g * (s + 2)][...]
+                    buf[r, base + g * (order - 1):base + g * order] = out32
+                # if i < order: out32 already sits at fifo position ``link``
+                forward(u, ci, ahead)
 
         # ---- down path ----
+        res = h0
         for j in range(nb):
-            up_pos = nb + 1 + (nb - 1 - j)
-            ahead = dense(j, True, False, h, w, y, skip_to=buf_at(up_pos))
-            y = _maxpool2(ahead, h, w, bt)
-            h, w = h // 2, w // 2
+            nxt_buf = buf_at(j + 1)
+
+            def fwd_pool(u, ci, ahead, res=res, nxt_buf=nxt_buf):
+                pooled = _maxpool2(ahead, res, res, ci)
+                m2 = ci * (res // 2) * (res // 2)
+                nxt_buf[u * m2:(u + 1) * m2, :c] = pooled
+
+            dense(j, True, False, res, fwd_pool)
+            res //= 2
         # ---- neck ----
-        ahead = dense(nb, False, False, h, w, y)
-        y = ahead
+        up0 = buf_at(nb + 1)
+
+        def fwd_up_neck(u, ci, ahead, res=res, nxt_buf=up0):
+            up = _upsample2(ahead, res, res, ci)
+            m2 = ci * (res * 2) * (res * 2)
+            nxt_buf[u * m2:(u + 1) * m2, :c] = up
+
+        dense(nb, False, False, res, fwd_up_neck)
         # ---- up path ----
         for idx, j in enumerate(reversed(range(nb))):
             pos = nb + 1 + idx
-            up = _upsample2(y, h, w, bt)
-            h, w = h * 2, w * 2
-            buf_at(pos)[:, :c] = up
-            y = dense(pos, False, True, h, w, None)
-        # ---- head ----
-        vec_h, w_h = get_head()
-        if s_i8:  # quantized head input: WIG insertion point No.2
-            hm = _affine_dot_i8(y, vec_h, w_h, s_i8).astype(dtype)
-        else:
-            hm = _bottleneck_val(y, vec_h, w_h, dtype).astype(dtype)
-        # the hourglass output is the NEXT slot's intermedia input
-        inter_buf[:, :c] = y
-        return y, hm.reshape(bt, h, w, -1)
+            res *= 2
+            if idx < nb - 1:
+                nxt_buf = buf_at(pos + 1)
+
+                def fwd_up(u, ci, ahead, res=res, nxt_buf=nxt_buf):
+                    up = _upsample2(ahead, res, res, ci)
+                    m2 = ci * (res * 2) * (res * 2)
+                    nxt_buf[u * m2:(u + 1) * m2, :c] = up
+
+                dense(pos, False, True, res, fwd_up)
+            else:
+                # last up block (res h0): ahead is the slot output — it
+                # seeds the next slot's intermedia input AND feeds the head
+                vec_h, w_h = get_head()
+
+                def fwd_head(u, ci, ahead):
+                    r = rows(h0, u)
+                    inter_buf[r, :c] = ahead
+                    if s_i8:  # quantized head: WIG insertion point No.2
+                        hm = _affine_dot_i8(ahead, vec_h, w_h,
+                                            s_i8).astype(dtype)
+                    else:
+                        hm = _bottleneck_val(ahead, vec_h, w_h,
+                                             dtype).astype(dtype)
+                    write_head(u, ci, hm)
+
+                dense(pos, False, True, res, fwd_head)
 
     # ---- unrolled growth-phase slots ----
     from cunet_tpu.kernels.fused_model import _read_wset_vals
 
-    def consume_prefix():
-        heads = []
-        for i in range(start):
-            inter_vals = None
-            if i > 0:
-                inter_vals = (nxt()[...], nxt()[...])
-            wsets = [_read_wset_vals(nxt, j < nb) for j in range(2 * nb + 1)]
-            head_vals = (nxt()[...], nxt()[...])
-            _, hm = run_slot(
-                i,
-                get_wset=lambda pos, skip, w=wsets: w[pos],
-                get_inter=lambda v=inter_vals: v,
-                get_head=lambda v=head_vals: v,
-            )
-            heads.append(hm)
-        return heads
+    for i in range(start):
+        inter_vals = None
+        if i > 0:
+            inter_vals = (nxt()[...], nxt()[...])
+        wsets = [_read_wset_vals(nxt, j < nb) for j in range(2 * nb + 1)]
+        head_vals = (nxt()[...], nxt()[...])
 
-    prefix_heads = consume_prefix()
+        def write_head(u, ci, hm, i=i):
+            dma_head(u, ci, hm, i)
+
+        run_slot(
+            i,
+            get_wset=lambda pos, skip, w=wsets: w[pos],
+            get_inter=lambda v=inter_vals: v,
+            get_head=lambda v=head_vals: v,
+            write_head=write_head,
+        )
 
     S = K - start
     if S > 0:
@@ -253,21 +367,19 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
             block_stacks.append(st)
         head_stack = (nxt(), nxt())
 
-    out_ref = nxt()
-    for i, hm in enumerate(prefix_heads):
-        out_ref[:, i] = hm
-
-    if S > 0:
         def body(r, carry):
-            _, hm = run_slot(
+            def write_head(u, ci, hm):
+                dma_head(u, ci, hm, start + r)
+
+            run_slot(
                 max(order, 1),
                 get_wset=lambda pos, skip, r=r: {
                     k: v[r] for k, v in block_stacks[pos].items()
                 },
                 get_inter=lambda r=r: (inter_stack[0][r], inter_stack[1][r]),
                 get_head=lambda r=r: (head_stack[0][r], head_stack[1][r]),
+                write_head=write_head,
             )
-            out_ref[:, start + r] = hm
             return carry
 
         jax.lax.fori_loop(0, S, body, 0)
@@ -304,14 +416,14 @@ def fused_model_buf_infer(
     i8 = bool(quant_bits_i)
 
     def xspec(a):
-        return pl.BlockSpec((bt,) + a.shape[1:], lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+        del a  # y_stem stays in HBM; the kernel DMAs chunks in at slot 0
+        return pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
 
     def full(a):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                             memory_space=pltpu.VMEM)
 
-    args: List = [y_stem]
+    args: List = [y_stem.reshape(n * h0 * h0, c)]
     specs: List = [xspec(y_stem)]
 
     def add(a):
@@ -394,9 +506,14 @@ def fused_model_buf_infer(
         add(jnp.stack([sa["head"][0] for sa in steady]).astype(jnp.float32))
         add(jnp.stack([conv2d_mat(sa["head"][1]) for sa in steady]))
 
-    out_shape = jax.ShapeDtypeStruct((n, layer_num, h0, h0, class_num), dtype)
-    out_spec = pl.BlockSpec((bt, layer_num, h0, h0, class_num),
-                            lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+    # the output stays in HBM: heads are DMAed out chunk-by-chunk from a
+    # small staging buffer (see _model_buf_kernel.dma_head). Layout
+    # (n, K, cls, h0*h0): minor dim 4096 is lane-aligned, cls=16 is
+    # sublane-aligned; un-transposed after the call.
+    out_shape = jax.ShapeDtypeStruct(
+        (n, layer_num, class_num, h0 * h0), dtype)
+    out_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    chunks = chunk_plan(bt, h0, num_blocks)
 
     # scratch: one channel-plane buffer per block position + intermedia
     res = [h0 // (2 ** j) for j in range(num_blocks + 1)]
@@ -407,11 +524,13 @@ def fused_model_buf_infer(
     for j in reversed(range(num_blocks)):   # up (traversal order nb-1..0)
         scratch.append(pltpu.VMEM((bt * res[j] * res[j], 2 * c + order * g + g), dtype))
     scratch.append(pltpu.VMEM((bt * h0 * h0, c + order * c), dtype))  # intermedia
+    scratch.append(pltpu.VMEM((chunks[h0], class_num, h0 * h0), dtype))  # head stage
+    scratch.append(pltpu.SemaphoreType.DMA)
 
     meta = dict(num_blocks=num_blocks, layer_num=layer_num, order=order,
                 start=start, h=h0, bt=bt, chan=c, growth=g, dtype=dtype,
-                bits_i=quant_bits_i)
-    return pl.pallas_call(
+                bits_i=quant_bits_i, chunks=chunks)
+    out = pl.pallas_call(
         functools.partial(_model_buf_kernel, meta),
         grid=(n // bt,),
         in_specs=specs,
@@ -423,3 +542,4 @@ def fused_model_buf_infer(
         ),
         interpret=interpret,
     )(*args)
+    return out.reshape(n, layer_num, class_num, h0, h0).transpose(0, 1, 3, 4, 2)

@@ -135,6 +135,24 @@ class TestFusedScanModel:
                                        rtol=2e-4, atol=2e-4)
 
 
+class TestChunkPlan:
+    def test_splits_high_res_only(self):
+        from cunet_tpu.kernels.fused_model_buf import chunk_plan
+        plan = chunk_plan(4, 64, 3, rows_target=8192)
+        # 4*64*64 = 16384 rows > 8192 -> split to 2 images; 4*32*32 fits
+        assert plan == {64: 2, 32: 4, 16: 4, 8: 4}
+
+    def test_never_below_one_image(self):
+        from cunet_tpu.kernels.fused_model_buf import chunk_plan
+        plan = chunk_plan(2, 64, 2, rows_target=1024)
+        assert plan[64] == 1 and plan[32] == 1 and plan[16] == 2
+
+    def test_env_override(self, monkeypatch):
+        from cunet_tpu.kernels.fused_model_buf import chunk_plan
+        monkeypatch.setenv("CUNET_TERA_CHUNK_ROWS", "1024")
+        assert chunk_plan(2, 64, 1) == {64: 1, 32: 1}
+
+
 class TestFusedWholeModel:
     @pytest.mark.parametrize("impl", ["loop", "buf"])
     @pytest.mark.parametrize("order,loss", [(1, 2), (2, 5), (0, 2), (3, 6)])
@@ -163,6 +181,37 @@ class TestFusedWholeModel:
         out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
         out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
         assert len(out_p) == len(out_l) == loss
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+    def test_buf_kernel_chunked_stages_match_lax(self, monkeypatch):
+        """Force the per-stage image-chunk loop (CUNET_TERA_CHUNK_ROWS small
+        enough that the high-res stages split the batch tile) and assert the
+        chunked dataflow is bit-compatible with the lax model."""
+        import cunet_tpu.kernels.fused_model_buf as fmb
+        from cunet_tpu.config import ModelConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+
+        monkeypatch.setenv("CUNET_TERA_IMPL", "buf")
+        # stem h0 = 8 here: 2*8*8=128 rows > 64 -> stage chunks of 1 image
+        # at res 8, whole tile (2) at res <= 4: exercises mixed chunking
+        monkeypatch.setenv("CUNET_TERA_CHUNK_ROWS", "64")
+        monkeypatch.setenv("CUNET_TERA_BATCH_TILE", "2")
+        orig = fmb.fused_model_buf_infer
+        monkeypatch.setattr(
+            fmb, "fused_model_buf_infer",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2)
+        cfg_p = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=True, pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=False, use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
         for a, b in zip(out_p, out_l):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)

@@ -135,16 +135,18 @@ class TestDualAdapterKernel:
 
 
 class TestBatchTileSelection:
-    """default_batch_tile must respect VMEM: K=16 keeps ~2x resident
-    weights and OOMs at bt=2 (measured 176 MB of 128 MB on v5e)."""
+    """default_batch_tile must respect VMEM: the HBM head/stem DMA frees
+    the output window, but K=16 still keeps ~2x resident weights and only
+    fits bt=2 on v5e (measured round 3)."""
 
-    def test_k8_prefers_two(self):
+    def test_k8_prefers_eight(self):
         from cunet_tpu.kernels.fused_model import default_batch_tile
-        assert default_batch_tile(256, 64, 8) == 2
+        assert default_batch_tile(256, 64, 8) == 8
 
-    def test_k16_drops_to_one(self):
+    def test_k16_drops_to_two(self):
         from cunet_tpu.kernels.fused_model import default_batch_tile
-        assert default_batch_tile(256, 64, 16) == 1
+        assert default_batch_tile(256, 64, 16) == 2
+        assert default_batch_tile(255, 64, 16) == 1  # odd batch
 
     def test_env_override(self, monkeypatch):
         from cunet_tpu.kernels.fused_model import default_batch_tile

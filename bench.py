@@ -83,17 +83,21 @@ def bench_train():
     from cunet_tpu.config import TrainConfig
     from cunet_tpu.train import create_train_state, make_optimizer, train_step
 
+    from cunet_tpu.models import stack_steady
+
     # whole-slot fused train kernels (1 fwd + 2 bwd launches per slot),
     # ghost-BN tile 2 = the reference's per-replica DataParallel BN stats.
-    # use_scan=False measures ~402 img/s but compiles ~25 min; the scanned
-    # variant (329 img/s) keeps the bench run driver-safe.
+    # Steady-slot params are natively STACKED so the lax.scan consumes them
+    # with zero per-step marshaling — the scanned step now matches the
+    # unrolled slots' speed at scan-mode compile times.
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
                       compute_dtype="bfloat16", remat="none",
                       use_pallas=True, bn_tile=2, bn_dtype="compute")
     bs = 24
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
-    state = create_train_state(params, bn, tx)
+    state = create_train_state(stack_steady(params, cfg),
+                               stack_steady(bn, cfg), tx)
     batch = {"image": jnp.ones((bs, 256, 256, 3), jnp.bfloat16),
              "heatmap": jnp.zeros((bs, 64, 64, 16), jnp.float32)}
     step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))

@@ -216,6 +216,17 @@ def run_training(opt, exp_dir: str) -> dict:
         apply_fn = dense_unet_apply(du_cfg)
     else:
         params, bn = init_cu_net(jax.random.PRNGKey(opt.seed), cfg)
+        from cunet_tpu.models import stack_steady
+        from cunet_tpu.models.cu_net import fused_train_ok
+
+        start = max(cfg.order, 1)
+        if (fused_train_ok(cfg) and not qcfg.enabled and cfg.use_scan
+                and cfg.layer_num - start >= 2):
+            # natively stacked steady-slot storage: the lax.scan train path
+            # consumes params with zero per-step marshaling. Checkpoints
+            # stay canonical on disk (utils/checkpoint.py canonicalizes).
+            params = stack_steady(params, cfg)
+            bn = stack_steady(bn, cfg)
     tx = make_optimizer(tcfg)
     state = create_train_state(params, bn, tx)
     n_dev = len(jax.devices())

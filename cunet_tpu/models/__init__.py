@@ -3,6 +3,9 @@ from cunet_tpu.models.cu_net import (
     create_cu_net,
     dense_block_channels,
     init_cu_net,
+    is_stacked,
+    stack_steady,
+    unstack_steady,
 )
 from cunet_tpu.models.naive_dense_unet import (
     DenseUNetConfig,
@@ -15,6 +18,9 @@ __all__ = [
     "create_cu_net",
     "dense_block_channels",
     "init_cu_net",
+    "is_stacked",
+    "stack_steady",
+    "unstack_steady",
     "DenseUNetConfig",
     "apply_dense_unet",
     "init_dense_unet",

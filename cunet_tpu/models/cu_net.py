@@ -28,6 +28,7 @@ input = ``in_num + (min(i, order)+1) * growth``; up-block adapters emit
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -497,20 +498,243 @@ def _apply_head(params, state, y, *, train, quant=None, norm_dtype=None,
 # computing exactly what the unrolled loop computes (asserted in tests).
 
 
+def _slot_get(container, idx: int):
+    """Slot ``idx`` of a per-slot container: a plain list (canonical
+    storage), or a stacked dict {"prefix": [...], "steady": leading-S tree}
+    (see ``stack_steady``)."""
+    if isinstance(container, dict) and "steady" in container:
+        pl_ = len(container["prefix"])
+        if idx < 0:
+            # canonical lists allow python negative indexing (slot 0's
+            # unused intermedia placeholder reads adapters[-1])
+            if container["steady"] is not None:
+                return jax.tree_util.tree_map(lambda x: x[idx],
+                                              container["steady"])
+            return container["prefix"][idx]
+        if idx < pl_:
+            return container["prefix"][idx]
+        return jax.tree_util.tree_map(lambda x: x[idx - pl_],
+                                      container["steady"])
+    return container[idx]
+
+
+def is_stacked(tree) -> bool:
+    """Whether ``tree`` (params or state) uses stacked steady-slot storage."""
+    heads = tree.get("heads")
+    return isinstance(heads, dict) and "steady" in heads
+
+
+def _split_list(lst, prefix_len: int):
+    prefix = list(lst[:prefix_len])
+    steady = lst[prefix_len:]
+    if steady:
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *steady)
+    else:
+        stacked = None
+    return {"prefix": prefix, "steady": stacked}
+
+
+def stack_steady(tree, cfg: ModelConfig):
+    """Canonical per-slot-list pytree -> stacked runtime form.
+
+    Slots >= ``start`` (the lax.scan steady-state range) are stored as ONE
+    stacked array per leaf (leading dim S = layer_num - start), so the scan
+    consumes them directly with zero per-step marshaling — the counterpart
+    of removing the ~13 ms/step ``jnp.stack`` the canonical form costs
+    (PARITY.md round-2 training table). Works on params and state alike.
+    Checkpoints always store the canonical form (``unstack_steady`` before
+    save), so on-disk naming is unchanged."""
+    start = max(cfg.order, 1)
+    out = {"stem": tree["stem"]}
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = [{name: _split_list(blk[name], start) for name in blk}
+                   for blk in tree["hg"][key]]
+    hg["neck"] = {name: _split_list(tree["hg"]["neck"][name], start)
+                  for name in tree["hg"]["neck"]}
+    out["hg"] = hg
+    # adapter j serves slot j+1 -> steady adapters start at index start-1
+    out["intermedia"] = {
+        "adapters": _split_list(tree["intermedia"]["adapters"], start - 1)
+    }
+    out["heads"] = _split_list(tree["heads"], start)
+    return out
+
+
+def _unsplit_list(container, total: int):
+    prefix = list(container["prefix"])
+    steady = container["steady"]
+    s_len = total - len(prefix)
+    tail = [jax.tree_util.tree_map(lambda x: x[j], steady)
+            for j in range(s_len)]
+    return prefix + tail
+
+
+def unstack_steady(tree, cfg: ModelConfig):
+    """Inverse of ``stack_steady`` (exact round-trip)."""
+    start = max(cfg.order, 1)
+    K = cfg.layer_num
+    out = {"stem": tree["stem"]}
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = [{name: _unsplit_list(blk[name], K) for name in blk}
+                   for blk in tree["hg"][key]]
+    hg["neck"] = {name: _unsplit_list(tree["hg"]["neck"][name], K)
+                  for name in tree["hg"]["neck"]}
+    out["hg"] = hg
+    out["intermedia"] = {
+        "adapters": _unsplit_list(tree["intermedia"]["adapters"], K - 1)
+    }
+    out["heads"] = _unsplit_list(tree["heads"], K)
+    del start
+    return out
+
+
 def _slot_subtree(tree, i: int, cfg: ModelConfig):
     """Per-slot params/state view: slot i of every block position, the
-    intermedia adapter serving slot i, and head i."""
+    intermedia adapter serving slot i, and head i. Works on canonical and
+    stacked storage (static ``i`` indexes the stacked arrays — XLA folds
+    the slice)."""
     hg = {}
     for key in ("down", "up"):
         hg[key] = []
         for blk in tree["hg"][key]:
-            hg[key].append({name: blk[name][i] for name in blk})
-    hg["neck"] = {name: tree["hg"]["neck"][name][i] for name in tree["hg"]["neck"]}
+            hg[key].append({name: _slot_get(blk[name], i) for name in blk})
+    hg["neck"] = {name: _slot_get(tree["hg"]["neck"][name], i)
+                  for name in tree["hg"]["neck"]}
     return {
         "hg": hg,
-        "inter": tree["intermedia"]["adapters"][i - 1],
-        "head": tree["heads"][i],
+        "inter": _slot_get(tree["intermedia"]["adapters"], i - 1),
+        "head": _slot_get(tree["heads"], i),
     }
+
+
+def _steady_xs(tree):
+    """The scan xs for stacked storage: every steady part, already stacked
+    in ``_slot_subtree`` shape (leading dim S)."""
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = [{name: blk[name]["steady"] for name in blk}
+                   for blk in tree["hg"][key]]
+    hg["neck"] = {name: tree["hg"]["neck"][name]["steady"]
+                  for name in tree["hg"]["neck"]}
+    return {
+        "hg": hg,
+        "inter": tree["intermedia"]["adapters"]["steady"],
+        "head": tree["heads"]["steady"],
+    }
+
+
+def _is_slot_container(t) -> bool:
+    return isinstance(t, dict) and set(t.keys()) == {"prefix", "steady"}
+
+
+def _rebuild_seq(t, vals):
+    return type(t)(*vals) if hasattr(t, "_fields") else type(t)(vals)
+
+
+def _is_dc(t) -> bool:
+    import dataclasses
+    return dataclasses.is_dataclass(t) and not isinstance(t, type)
+
+
+def _map_dc(t, fn):
+    import dataclasses
+    return dataclasses.replace(
+        t, **{f.name: fn(getattr(t, f.name)) for f in dataclasses.fields(t)})
+
+
+def canonicalize_slots(tree):
+    """Replace every stacked slot container anywhere in ``tree`` (params,
+    state, optimizer state — any nesting of dicts/lists/namedtuples) with
+    the canonical per-slot list. Checkpoints always store this form, so
+    on-disk naming is identical for stacked and canonical runs."""
+    if _is_slot_container(tree):
+        out = [canonicalize_slots(p) for p in tree["prefix"]]
+        steady = tree["steady"]
+        if steady is not None:
+            S = jax.tree_util.tree_leaves(steady)[0].shape[0]
+            out += [jax.tree_util.tree_map(lambda x, j=j: x[j], steady)
+                    for j in range(S)]
+        return out
+    if isinstance(tree, dict):
+        return {k: canonicalize_slots(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return _rebuild_seq(tree, [canonicalize_slots(v) for v in tree])
+    if _is_dc(tree):  # flax.struct TrainState, optax dataclass states
+        return _map_dc(tree, canonicalize_slots)
+    return tree
+
+
+def stack_like(template, tree):
+    """Re-stack a canonical ``tree`` into ``template``'s slot layout: at
+    every stacked container site in the template, the corresponding
+    canonical list is split at the template's prefix length and its tail
+    stacked. Inverse of ``canonicalize_slots`` for matching structures."""
+    if _is_slot_container(template):
+        assert isinstance(tree, (list, tuple)), (
+            f"expected per-slot list at stacked site, got {type(tree)}")
+        return _split_list(list(tree), len(template["prefix"]))
+    if isinstance(template, dict):
+        return {k: stack_like(template[k], tree[k]) for k in template}
+    if isinstance(template, (list, tuple)):
+        return _rebuild_seq(
+            template, [stack_like(t, v) for t, v in zip(template, tree)])
+    if _is_dc(template):
+        import dataclasses
+        return dataclasses.replace(
+            template,
+            **{f.name: stack_like(getattr(template, f.name),
+                                  getattr(tree, f.name))
+               for f in dataclasses.fields(template)})
+    return tree
+
+
+def _prefix_view(tree):
+    """Canonical-shaped view of a stacked tree's growth-phase (prefix)
+    slots: per-slot lists of length ``start`` so the unrolled prefix loop
+    (which indexes with ``[i]``, always ``i < start``) works unchanged."""
+    out = {"stem": tree["stem"]}
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = [{name: list(blk[name]["prefix"]) for name in blk}
+                   for blk in tree["hg"][key]]
+    hg["neck"] = {name: list(tree["hg"]["neck"][name]["prefix"])
+                  for name in tree["hg"]["neck"]}
+    out["hg"] = hg
+    out["intermedia"] = {
+        "adapters": list(tree["intermedia"]["adapters"]["prefix"])
+    }
+    out["heads"] = list(tree["heads"]["prefix"])
+    return out
+
+
+def _assemble_stacked_state(hg_prefix, inter_prefix, heads_prefix, old_state,
+                            scanned, scan_range, anchors):
+    """Rebuild the STACKED state tree after a forward: prefix lists come
+    from the unrolled loop, steady parts are the scan's stacked outputs.
+    Head state only updates at anchored slots (the reference never runs
+    non-anchored heads) — non-anchored steady entries keep the old state."""
+    hg = {}
+    for key in ("down", "up"):
+        hg[key] = [
+            {name: {"prefix": list(blk_prefix[name]),
+                    "steady": blk_scan[name]} for name in blk_prefix}
+            for blk_prefix, blk_scan in zip(hg_prefix[key], scanned["hg"][key])
+        ]
+    hg["neck"] = {name: {"prefix": list(hg_prefix["neck"][name]),
+                         "steady": scanned["hg"]["neck"][name]}
+                  for name in hg_prefix["neck"]}
+    inter = {"adapters": {"prefix": list(inter_prefix["adapters"]),
+                          "steady": scanned["inter"]}}
+    mask = jnp.asarray([(i + 1) in anchors for i in scan_range])
+    old_steady = old_state["heads"]["steady"]
+    head_steady = jax.tree_util.tree_map(
+        lambda n, o: jnp.where(mask.reshape((-1,) + (1,) * (o.ndim - 1)),
+                               n.astype(o.dtype), o),
+        scanned["head"], old_steady)
+    heads = {"prefix": list(heads_prefix), "steady": head_steady}
+    return hg, inter, heads
 
 
 def _stack_slots(trees):
@@ -870,8 +1094,16 @@ def _apply_slots_scanned(
 
     Returns (y, fifos, stacked_head_outs, stacked_new_states).
     """
-    xs_params = _stack_slots([_slot_subtree(params, i, cfg) for i in scan_range])
-    xs_state = _stack_slots([_slot_subtree(state, i, cfg) for i in scan_range])
+    if is_stacked(params):
+        # natively stacked steady slots: the scan consumes the param/state
+        # leaves directly — no per-step jnp.stack marshaling
+        xs_params = _steady_xs(params)
+        xs_state = _steady_xs(state)
+    else:
+        xs_params = _stack_slots(
+            [_slot_subtree(params, i, cfg) for i in scan_range])
+        xs_state = _stack_slots(
+            [_slot_subtree(state, i, cfg) for i in scan_range])
     if rng is None:
         xs_rng = jnp.zeros((len(scan_range), 2), jnp.uint32)
     else:
@@ -969,8 +1201,12 @@ def _apply_slots_scanned(
     if train and cfg.remat == "block":
         wrapped = jax.checkpoint(body)
 
+    # partial unroll duplicates the scan body (compile cost ~xU) to cut
+    # per-iteration scan overhead; 1 = plain scan
+    unroll = int(os.environ.get("CUNET_SCAN_UNROLL", "1"))
     (y, carry_fifos), ys = jax.lax.scan(
-        wrapped, (y, carry_fifos), (xs_params, xs_state, xs_rng)
+        wrapped, (y, carry_fifos), (xs_params, xs_state, xs_rng),
+        unroll=max(1, unroll),
     )
     fifos = {
         "down": [list(f) for f in carry_fifos["down"]],
@@ -1156,27 +1392,38 @@ def apply_cu_net(
         return outs, new_state
 
     fifos = empty_fifos(cfg)
-    hg_state = state["hg"]
-    inter_state = state["intermedia"]
-    heads_state = list(state["heads"])
     anchors = cfg.anchors
     outs: List[jnp.ndarray] = []
-
-    def block_apply(y, i, hg_state, inter_state, fifos):
-        y, inter_state, fifos["intermedia"] = _apply_intermedia(
-            params["intermedia"], inter_state, y, i, fifos["intermedia"],
-            cfg=cfg, train=train,
-        )
-        r = None if rng is None else jax.random.fold_in(rng, i)
-        y, hg_state, fifos = _apply_hourglass(
-            params["hg"], hg_state, y, i, fifos, cfg=cfg, train=train, rng=r,
-            quant=quant,
-        )
-        return y, hg_state, inter_state, fifos
 
     start = max(cfg.order, 1)
     scan_range = list(range(start, cfg.layer_num))
     use_scan = cfg.use_scan and len(scan_range) >= 2
+
+    stacked = is_stacked(params)
+    if stacked and not use_scan:
+        raise ValueError(
+            "stacked steady-slot params require the lax.scan path "
+            "(use_scan=True and layer_num >= start+2); unstack_steady() "
+            "first for unrolled execution")
+    # the unrolled prefix loop below only touches slots < start; for
+    # stacked storage give it canonical-shaped prefix views
+    p_run = _prefix_view(params) if stacked else params
+    s_run = _prefix_view(state) if stacked else state
+    hg_state = s_run["hg"]
+    inter_state = s_run["intermedia"]
+    heads_state = list(s_run["heads"])
+
+    def block_apply(y, i, hg_state, inter_state, fifos):
+        y, inter_state, fifos["intermedia"] = _apply_intermedia(
+            p_run["intermedia"], inter_state, y, i, fifos["intermedia"],
+            cfg=cfg, train=train,
+        )
+        r = None if rng is None else jax.random.fold_in(rng, i)
+        y, hg_state, fifos = _apply_hourglass(
+            p_run["hg"], hg_state, y, i, fifos, cfg=cfg, train=train, rng=r,
+            quant=quant,
+        )
+        return y, hg_state, inter_state, fifos
 
     unrolled_upto = start if use_scan else cfg.layer_num
     # fused eval kernels fold BN but not the activation quantizers: they
@@ -1222,13 +1469,27 @@ def apply_cu_net(
             )
         if (i + 1) in anchors:
             hm, head_s = _apply_head(
-                params["heads"][i], state["heads"][i], y, train=train,
+                p_run["heads"][i], s_run["heads"][i], y, train=train,
                 quant=quant, norm_dtype=_bn_nd(cfg), tile=cfg.bn_tile
             )
             heads_state[i] = head_s
             outs.append(hm)
 
-    if use_scan:
+    if use_scan and stacked:
+        # steady entries are untouched by the prefix loop; the scan reads
+        # them straight off the stacked storage
+        y, fifos, head_outs, scanned = _apply_slots_scanned(
+            params, state, y, fifos, scan_range,
+            cfg=cfg, train=train, rng=rng, quant=quant,
+        )
+        (new_state["hg"], new_state["intermedia"],
+         new_state["heads"]) = _assemble_stacked_state(
+            hg_state, inter_state, heads_state, state, scanned,
+            scan_range, anchors)
+        for j, i in enumerate(scan_range):
+            if (i + 1) in anchors:
+                outs.append(head_outs[j])
+    elif use_scan:
         # merge partially-updated states for the scan's source tree
         mid_state = dict(new_state)
         mid_state["hg"] = hg_state

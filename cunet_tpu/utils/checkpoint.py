@@ -53,12 +53,17 @@ class Checkpoint:
     ) -> str:
         """Save train state + history (+ predictions .mat); copy to
         ``*-model-best`` when the epoch is the best so far."""
+        from cunet_tpu.models.cu_net import canonicalize_slots
+
         lr, epoch = history.last_lr, history.last_epoch
         name = self.ckpt_name(lr, epoch)
         path = self._path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, jax.device_get(state))
+        # on-disk layout is ALWAYS the canonical per-slot-list form:
+        # stacked-slot runtime trees (models.stack_steady) are converted, so
+        # checkpoints interoperate across stacked and canonical runs
+        self._ckptr.save(path, canonicalize_slots(jax.device_get(state)))
         with open(path + "-history.json", "w") as f:
             json.dump(history.state_dict(), f)
         if preds is not None:
@@ -82,9 +87,15 @@ class Checkpoint:
         """Restore into the template's structure. Arrays whose tree path is
         missing from the checkpoint keep their template values (the
         reference's skip-on-missing name matching, ref:utils/checkpoint.py:52-62)."""
+        from cunet_tpu.models.cu_net import canonicalize_slots, stack_like
+
         path = self._path(name)
         restored = self._ckptr.restore(path)
-        state = _merge_by_path(template_state, restored)
+        # checkpoints are canonical on disk; merge in canonical space, then
+        # re-stack to the template's (possibly stacked-slot) layout
+        canon_template = canonicalize_slots(template_state)
+        state = _merge_by_path(canon_template, restored)
+        state = stack_like(template_state, state)
         if history is not None and os.path.exists(path + "-history.json"):
             with open(path + "-history.json") as f:
                 history.load_state_dict(json.load(f))

@@ -77,9 +77,12 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
     return 3.2 * conv_flops_per_image(cfg)
 
 
-def bench_train():
+def bench_train(quant: bool = False):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
-    workload: ref:cu-net.py:147-206 RMSprop heatmap regression)."""
+    workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
+    ``quant``: the WAGE W1/I8/G8 protocol (ref:cu-net-prev-version-wig.py
+    trainer) through the same fused kernels — QuanInput STE in-kernel,
+    weight fake-quant outside."""
     from cunet_tpu.config import TrainConfig
     from cunet_tpu.train import create_train_state, make_optimizer, train_step
 
@@ -100,7 +103,15 @@ def bench_train():
                                stack_steady(bn, cfg), tx)
     batch = {"image": jnp.ones((bs, 256, 256, 3), jnp.bfloat16),
              "heatmap": jnp.zeros((bs, 64, 64, 16), jnp.float32)}
-    step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
+    if quant:
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.train.quant_step import quant_train_step
+
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        step = jax.jit(
+            lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx))
+    else:
+        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     n_iters = 8
@@ -113,7 +124,8 @@ def bench_train():
         times.append((time.perf_counter() - t0) / n_iters)
     dt = statistics.median(times)
     print(json.dumps({
-        "metric": "cu_net8_256_train_images_per_sec_per_chip",
+        "metric": ("cu_net8_256_quant_w1i8g8_train_images_per_sec_per_chip"
+                   if quant else "cu_net8_256_train_images_per_sec_per_chip"),
         "value": round(bs / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(train_flops_per_image(cfg) * bs / dt
@@ -208,6 +220,8 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv:
         bench_train()
+    elif "--quant_train" in sys.argv:  # WAGE W1/I8/G8 fused-kernel training
+        bench_train(quant=True)
     elif "--k16" in sys.argv:  # the human flagship (ref:README.md:43)
         main(layer_num=16, metric_tag="cu_net16")
     elif "--int8" in sys.argv:  # quantized flagship, real int8 MXU execution

@@ -220,11 +220,12 @@ def run_training(opt, exp_dir: str) -> dict:
         from cunet_tpu.models.cu_net import fused_train_ok
 
         start = max(cfg.order, 1)
-        if (fused_train_ok(cfg) and not qcfg.enabled and cfg.use_scan
+        if (fused_train_ok(cfg) and cfg.use_scan
                 and cfg.layer_num - start >= 2):
             # natively stacked steady-slot storage: the lax.scan train path
-            # consumes params with zero per-step marshaling. Checkpoints
-            # stay canonical on disk (utils/checkpoint.py canonicalizes).
+            # consumes params with zero per-step marshaling (quant included
+            # — the quant transforms vmap over the stacked slot dim).
+            # Checkpoints stay canonical on disk (utils/checkpoint.py).
             params = stack_steady(params, cfg)
             bn = stack_steady(bn, cfg)
     tx = make_optimizer(tcfg)
@@ -252,8 +253,10 @@ def run_training(opt, exp_dir: str) -> dict:
         )
     if use_pallas and qcfg.enabled:
         log.print_log(
-            "=> note: --use_pallas is ignored on the quantized eval path "
-            "(fused block/slot kernels skip the activation quantizers)"
+            "=> note: quantized TRAINING runs the fused Pallas kernels "
+            "(QuanInput STE in-kernel); quantized EVAL uses the lax path "
+            "unless --int8_infer (the fused eval kernels fold BN and skip "
+            "the activation quantizers)"
         )
     from cunet_tpu.models.cu_net import _mosaic_ok
     if use_pallas and not _mosaic_ok(cfg):

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cunet_tpu.kernels.fused_hourglass import (
+    _ABLATE,
     _bottleneck_val,
     _conv3x3,
     _maxpool2,
@@ -143,6 +144,8 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
         lane-merging reshapes ((rows,16)->(..,h0*cls)) don't lower — so the
         out array is (n, K, cls, h0*h0) and each image's head is 2-D
         transposed (supported) into the staging buffer."""
+        if "headdma" in _ABLATE:      # timing probe: output stays garbage
+            return
         m = h0 * h0
         for im in range(ci):
             head_stage[im] = jnp.transpose(hm[im * m:(im + 1) * m])
@@ -210,7 +213,9 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                                 dtype).astype(dtype)
                 d0[r, :c] = y
                 # rotate fifo left one c-block and push the adapter output
-                if i >= order and order > 0:
+                if "fifo" in _ABLATE:
+                    pass
+                elif i >= order and order > 0:
                     for s in range(order - 1):
                         inter_buf[r, c * (1 + s):c * (2 + s)] = \
                             inter_buf[r, c * (2 + s):c * (3 + s)][...]
@@ -292,7 +297,9 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                         buf_at(up_pos)[r, c:2 * c] = skip
                 # FIFO update (ref:models/cu_net.py:133-137): growth phase
                 # keeps out32 where it landed; steady state rotates left
-                if i >= order and order > 0:
+                if "fifo" in _ABLATE:
+                    pass
+                elif i >= order and order > 0:
                     for s in range(order - 1):
                         buf[r, base + g * s:base + g * (s + 1)] = \
                             buf[r, base + g * (s + 1):base + g * (s + 2)][...]

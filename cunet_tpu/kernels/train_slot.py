@@ -90,7 +90,7 @@ def _read_wset(nxt, skip):
     return w
 
 
-def make_meta(cfg, slot_i: int, bt: int) -> Dict:
+def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0) -> Dict:
     """Static kernel metadata for slot ``slot_i`` (None = steady state)."""
     L = cfg.order if slot_i is None else min(slot_i, cfg.order)
     has_inter = slot_i is None or slot_i > 0
@@ -104,6 +104,7 @@ def make_meta(cfg, slot_i: int, bt: int) -> Dict:
         cb=cfg.bottleneck_chan,
         dtype=jnp.dtype(cfg.compute_dtype),
         eps=BN_EPS,
+        bits_i=bits_i,
     )
 
 
@@ -178,6 +179,34 @@ def _norm_relu(x, bn, mu, var, dtype, eps):
     )
 
 
+def _quan(x, bits_i: int):
+    """In-kernel QuanInput forward: Q(C(x, bits_i), bits_i)
+    (ref:utils/quantize.py:47-63). ``bits_i == 0`` or > 15 means no
+    activation quantization (the reference inserts QuanInput2d only when
+    bits_i <= 15, ref:models/cu_net_prev_version_wig.py:96-100).
+
+    Computed in f32 (Mosaic rejects sub-32-bit compares — jnp.sign lowers
+    to a bf16 cmpf otherwise) and cast back. This is BIT-IDENTICAL to the
+    lax path's bf16 arithmetic: the clip bounds (1 - 2^-(b-1)), the
+    power-of-two scaling x*S and /S, the +0.5, and floor are all exact in
+    bf16 for |x| <= 1 with b <= 8 (integers through 255 carry 8 significand
+    bits), so neither precision ever rounds."""
+    if not bits_i or bits_i > 15:
+        return x
+    from cunet_tpu.quant.wage import clip_c, quant_q
+
+    return quant_q(clip_c(x.astype(jnp.float32), bits_i),
+                   bits_i).astype(x.dtype)
+
+
+def _ste_mask(d, x):
+    """QuanInput backward: pass the cotangent through except where
+    |x| >= 1 (straight-through estimator, ref:utils/quantize.py:58-62).
+    fp32 compares (Mosaic rejects sub-32-bit predication here)."""
+    x32 = x.astype(jnp.float32)
+    return jnp.where((x32 > -1.0) & (x32 < 1.0), d, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -224,6 +253,9 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         mu2, var2 = _stats(yb)
         stat_writes.append(jnp.stack([mu2, var2]))
         z2 = _norm_relu(yb, wset["bn2"], mu2, var2, dtype, eps)
+        # WIG insertion point No.1: quantize activations between the ReLU
+        # and the 3x3 conv (ref:models/cu_net_prev_version_wig.py:96-100)
+        z2 = _quan(z2, meta["bits_i"])
         out32 = _conv3x3(z2, wset["w3"], bt, h, w, mode="scatter").astype(dtype)
         x2 = jnp.concatenate([x_cat, out32], axis=-1)
         ahead = stage(x2, wset["bn_a"], wset["w_a"]).astype(dtype)
@@ -267,6 +299,9 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
     mu_h, var_h = _stats(y)
     stat_writes.append(jnp.stack([mu_h, var_h]))
     z_h = _norm_relu(y, bn_h, mu_h, var_h, dtype, eps)
+    # WIG insertion point No.2: the head 1x1 conv's input
+    # (ref:models/cu_net_prev_version_wig.py:277-281)
+    z_h = _quan(z_h, meta["bits_i"])
     hm = _dot(z_h, w_h, dtype).astype(dtype)
 
     # ---- outputs ----
@@ -485,8 +520,11 @@ def _affine_bwd(x, bn, mu, var, d_z, dtype, eps, z=None):
     return d_x, jnp.stack([d_gamma, d_beta])
 
 
-def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
-    """Backward through ``out = relu(batchnorm(x)) @ w``.
+def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps, bits_i=0):
+    """Backward through ``out = relu(batchnorm(x)) @ w`` — with
+    ``bits_i`` set, through ``out = quan(relu(batchnorm(x))) @ w`` (the
+    head's WIG insertion point: dW against the quantized values, STE gate
+    on the activation cotangent).
 
     Returns (d_x fp32, dW fp32, d_bn fp32)."""
     inv = jax.lax.rsqrt(var + eps)
@@ -494,8 +532,10 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps):
     shift = bn[1] - mu * ig
     z = jnp.maximum(x.astype(dtype) * ig.astype(dtype)
                     + shift.astype(dtype), 0)
-    dW = _dot_dw(z, d_out, dtype)
+    dW = _dot_dw(_quan(z, bits_i), d_out, dtype)
     d_z = _dot_dx(d_out, w, dtype)
+    if bits_i and bits_i <= 15:
+        d_z = _ste_mask(d_z, z)
     d_x, d_bn = _affine_bwd(x, bn, mu, var, d_z, dtype, eps, z=z)
     return d_x, dW, d_bn
 
@@ -635,11 +675,16 @@ def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead,
     yb = _dot(z1, wset["w_b"], dtype).astype(dtype)
     z2 = _norm_relu(yb, wset["bn2"], stats3["s2"][0], stats3["s2"][1],
                     dtype, eps)
+    # the 3x3 conv consumed the QUANTIZED activations in the forward
+    # (WIG insertion point No.1) — z2q feeds its dW and dX recompute,
+    # z2 keeps the pre-quant value for the STE mask and the BN2 backward
+    z2q = _quan(z2, meta["bits_i"])
     if out32 is None:
-        out32 = _conv3x3(z2, wset["w3"], bt, h, h,
+        out32 = _conv3x3(z2q, wset["w3"], bt, h, h,
                          mode="scatter").astype(dtype)
     x2 = jnp.concatenate([x_cat, out32], axis=-1)
-    vals = dict(x_cat=x_cat, z1=z1, yb=yb, z2=z2, out32=out32, x2=x2)
+    vals = dict(x_cat=x_cat, z1=z1, yb=yb, z2=z2, z2q=z2q, out32=out32,
+                x2=x2)
     if need_ahead:
         inva = jax.lax.rsqrt(stats3["sa"][1] + eps) * wset["bn_a"][0]
         shifta = wset["bn_a"][1] - stats3["sa"][0] * inva
@@ -681,9 +726,13 @@ def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
     k1 = p["k1"]
     d_x_cat = d_x2[:, :k1]
     d_out32 = d_x2[:, k1:] + d_out32_e.astype(jnp.float32)
-    # 3x3 conv backward
-    d_z2, dW3 = _conv3x3_bwd(z2, wset["w3"], d_out32, bt, h, h, dtype)
+    # 3x3 conv backward (dW against the quantized activations the forward
+    # consumed), then the QuanInput STE gate on the activation cotangent
+    d_z2, dW3 = _conv3x3_bwd(vals["z2q"], wset["w3"], d_out32, bt, h, h,
+                             dtype)
     acc(dW_refs_b["w3"], dW3)
+    if meta["bits_i"] and meta["bits_i"] <= 15:
+        d_z2 = _ste_mask(d_z2, z2)
     # bn2 backward
     d_yb, dbn2 = _affine_bwd(yb, wset["bn2"], mu2, var2, d_z2, dtype, eps,
                              z=z2)
@@ -772,7 +821,7 @@ def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
             # head backward rides the last up block (its input is y_out)
             d_h_in, dW_h, dbn_h = _stage_bwd(
                 vals["ahead"], bn_h, w_h, head_stat[0], head_stat[1],
-                d_head, dtype, eps)
+                d_head, dtype, eps, bits_i=meta["bits_i"])
             acc(dW_head[1], dW_h)
             acc(dW_head[0], dbn_h)
             d_y = d_y + d_h_in
@@ -1147,10 +1196,12 @@ def slot_train_bwd(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret):
+def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
+                  bits_i=0):
     meta = finalize_meta(
         dict(num_blocks=nb, L=L, has_inter=has_inter, bt=bt, chan=c,
-             growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS),
+             growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS,
+             bits_i=bits_i),
         h0,
     )
 
@@ -1197,12 +1248,17 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret):
 
 
 def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
-                     interpret=False):
+                     interpret=False, bits_i=0):
     """Whole-slot fused train forward with custom-VJP backward.
 
     Returns (y_out, head, inter_out|None, out32s tuple, stats tuple) where
     stats are per-tile (T, 2, C) fp32 arrays in kernel emission order.
     Requires cfg.bn_tile > 0 (the grid batch tile = BN stat group).
+    ``bits_i`` > 0 runs the WIG activation quantizers (QuanInput STE) at
+    both reference insertion points inside the kernels; weight quantization
+    happens OUTSIDE via ``quant.transforms.quantize_params`` (the kernels
+    receive the already-fake-quantized weights and their custom VJP feeds
+    the XNOR/STE weight backward automatically).
     """
     h0 = y.shape[1]
     if not interpret and jax.default_backend() == "cpu":
@@ -1210,7 +1266,7 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
     fn = _make_slot_fn(
         cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
         cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),
-        interpret,
+        interpret, int(bits_i),
     )
     outs = fn(y, tuple(inter_fifo), tuple(tuple(f) for f in fifos), W)
     if has_inter:

@@ -261,6 +261,19 @@ def fused_train_ok(cfg) -> bool:
             and _mosaic_ok(cfg))
 
 
+def quant_kernel_bits(quant) -> int:
+    """bits_i for the fused train kernels; 0 = no activation quantization.
+
+    Every enabled QuantConfig runs in the kernels: weight quantization is a
+    pytree transform OUTSIDE the model (quant.transforms.quantize_params,
+    differentiated through its fake-quant custom VJP), so the kernels only
+    add the two QuanInput STE insertion points
+    (ref:models/cu_net_prev_version_wig.py:96-100, 277-281)."""
+    if quant is None or not quant.enabled:
+        return 0
+    return int(quant.bits_i)
+
+
 def _apply_bottleneck(params, state, feats: Sequence[jnp.ndarray], *, cfg, train,
                       quant=None):
     """BN->ReLU->1x1 over a virtual concat, with remat per config."""
@@ -997,9 +1010,10 @@ def _slot_state_from_stats(s, stats, cfg, h0, has_inter):
     return new
 
 
-def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None):
+def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0):
     """One fused train slot: forward kernel + custom-VJP backward kernel
     (cunet_tpu.kernels.train_slot). ``slot_i=None`` = steady state.
+    ``bits_i`` > 0 = WIG activation quantizers inside the kernels.
 
     Returns (y_out, new_fifos, head_out, new_slot_state)."""
     from cunet_tpu.kernels.train_slot import fused_slot_train, marshal_slot
@@ -1022,7 +1036,7 @@ def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None):
     )
     y_out, hm, inter_out, out32s, stats = fused_slot_train(
         y, list(f["intermedia"]) if has_inter else [], fifos_t, W,
-        cfg=cfg, L=L, has_inter=has_inter,
+        cfg=cfg, L=L, has_inter=has_inter, bits_i=bits_i,
     )
 
     new_ss = _slot_state_from_stats(s, list(stats), cfg, y.shape[1], has_inter)
@@ -1122,11 +1136,12 @@ def _apply_slots_scanned(
         p, s, rk = xs
         r = rk if rng is not None else None
 
-        if train and quant is None and fused_train_ok(cfg):
+        if train and fused_train_ok(cfg):
             # (drop_rate > 0 must use the lax path — the fused kernels
             # do not implement dropout)
             # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
-            y, new_f, hm, new_ss = _fused_slot_train(p, s, y, f, cfg=cfg)
+            y, new_f, hm, new_ss = _fused_slot_train(
+                p, s, y, f, cfg=cfg, bits_i=quant_kernel_bits(quant))
             return (y, new_f), {"state": new_ss, "head_out": hm}
 
         if (not train) and cfg.use_pallas and quant is None \
@@ -1430,13 +1445,14 @@ def apply_cu_net(
     # must not engage for quantized evaluation
     fused_eval = (not train) and cfg.use_pallas and cfg.pallas_hourglass \
         and quant is None and _mosaic_ok(cfg)
-    fused_train = train and quant is None and fused_train_ok(cfg)
+    fused_train = train and fused_train_ok(cfg)
     for i in range(unrolled_upto):
         if fused_train:
             slot_p = _slot_subtree(params, i, cfg)
             slot_s = _slot_subtree(state, i, cfg)
             y, new_f, hm, new_ss = _fused_slot_train(
-                slot_p, slot_s, y, fifos, cfg=cfg, slot_i=i
+                slot_p, slot_s, y, fifos, cfg=cfg, slot_i=i,
+                bits_i=quant_kernel_bits(quant)
             )
             fifos = {
                 "down": [list(fe) for fe in new_f["down"]],

@@ -54,20 +54,32 @@ def _path_str(path) -> str:
 
 
 def selected_conv_predicate(params, policy: str = "reference") -> PathPredicate:
-    """Predicate over tree paths choosing which conv kernels are quantized."""
+    """Predicate over tree paths choosing which conv kernels are quantized.
+
+    Works on canonical (per-slot list) AND natively stacked steady-slot
+    storage (models.cu_net.stack_steady): stacked conv leaves live under a
+    ``steady`` key with a leading slot dim. The reference's last-intermedia-
+    adapter exclusion is the stacked intermedia leaf's LAST slice; the
+    predicate returns the sentinel "all_but_last" for it and
+    ``_map_selected`` quantizes all other slices."""
     if policy not in ("reference", "heads_out", "all"):
         raise ValueError(f"unknown selection policy: {policy}")
 
-    n_intermedia = len(params.get("intermedia", {}).get("adapters", []))
+    adapters = params.get("intermedia", {}).get("adapters", [])
+    n_intermedia = len(adapters) if isinstance(adapters, list) else 0
 
-    def pred(path) -> bool:
+    def pred(path):
         s = _path_str(path)
         if not (s.endswith("/conv") or s.endswith("/conv2")):
             return False
         if s.startswith("stem/"):
             return False  # first conv always excluded
         if policy == "reference":
-            return s != f"intermedia/adapters/{n_intermedia - 1}/conv"
+            if s == f"intermedia/adapters/{n_intermedia - 1}/conv":
+                return False  # canonical: last adapter excluded
+            if s == "intermedia/adapters/steady/conv":
+                return "all_but_last"  # stacked: exclude the last slice
+            return True
         if policy == "heads_out":
             return not s.startswith("heads/")
         return True
@@ -76,9 +88,20 @@ def selected_conv_predicate(params, policy: str = "reference") -> PathPredicate:
 
 
 def _map_selected(fn, params, pred: PathPredicate):
+    import jax.numpy as jnp
+
     def mapper(path, leaf):
-        if hasattr(leaf, "ndim") and leaf.ndim == 4 and pred(path):
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        sel = pred(path)
+        if leaf.ndim == 4 and sel:
             return fn(leaf)
+        if leaf.ndim == 5 and sel:
+            # stacked steady-slot storage: vmap over the slot dim
+            q = jax.vmap(fn)(leaf)
+            if sel == "all_but_last":
+                q = jnp.concatenate([q[:-1], leaf[-1:]])
+            return q
         return leaf
 
     return jax.tree_util.tree_map_with_path(mapper, params)

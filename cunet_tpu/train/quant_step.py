@@ -78,7 +78,17 @@ def make_sharded_quant_train_step(
     ``make_sharded_train_step``: batch sharded (N over data, H over space),
     state replicated, grads all-reduced over ICI. The reference's BIN/WIG
     trainers run under DataParallel (ref:cu-net-prev-version-wig.py:63); this
-    is the quant path's equivalent, so ``--quantize`` honours ``--dp/--sp``."""
+    is the quant path's equivalent, so ``--quantize`` honours ``--dp/--sp``.
+
+    When the fused Pallas train kernels engage (models.cu_net.fused_train_ok
+    — with quantization they run the QuanInput STE in-kernel), dispatch to
+    the explicit shard_map + pmean construction: GSPMD cannot partition the
+    tpu_custom_call."""
+    from cunet_tpu.models.cu_net import fused_train_ok
+
+    if fused_train_ok(cfg) and qcfg.enabled:
+        return make_shardmap_quant_train_step(
+            mesh, cfg, qcfg, tx, donate=donate, policy=policy)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     fn = functools.partial(quant_train_step, cfg=cfg, qcfg=qcfg, tx=tx, policy=policy)
@@ -88,6 +98,66 @@ def make_sharded_quant_train_step(
         out_shardings=(rep, {"loss": rep, "last_out": bsh}),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_shardmap_quant_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    qcfg: QuantConfig,
+    tx: optax.GradientTransformation,
+    *,
+    donate: bool = False,
+    policy: str = "reference",
+):
+    """Quantized data-parallel step as an explicit shard_map (the quant twin
+    of ``train.step.make_shardmap_train_step``): each device runs the full
+    quantized step on its batch shard through the fused kernels, then
+    grads / loss / BN state pmean over the data axis. ``space`` must be 1 —
+    the Pallas kernels exchange no spatial halos."""
+    from jax.sharding import PartitionSpec as P
+
+    from cunet_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+    if mesh.shape.get(SPACE_AXIS, 1) != 1:
+        raise ValueError(
+            "the Pallas quant train path shards over data only; build the "
+            f"mesh with sp=1 (got space={mesh.shape[SPACE_AXIS]})")
+
+    bspec = {"image": P(DATA_AXIS), "heatmap": P(DATA_AXIS)}
+
+    def body(state, batch):
+        pred = selected_conv_predicate(state.params, policy)
+        masters = preprocess_masters(state.params, qcfg, pred)
+
+        def loss_fn(params):
+            qparams = quantize_params(params, qcfg, pred)
+            outs, new_bn = apply_cu_net(
+                qparams, state.bn_state, batch["image"], cfg=cfg,
+                train=True, quant=qcfg,
+            )
+            return intermediate_mse(outs, batch["heatmap"]), (new_bn, outs[-1])
+
+        (loss, (new_bn, last_out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(masters)
+        pm = lambda t: jax.tree.map(
+            lambda x: jax.lax.pmean(x, DATA_AXIS), t)
+        grads = pm(grads)
+        loss = jax.lax.pmean(loss, DATA_AXIS)
+        new_bn = pm(new_bn)
+        updates, new_opt = tx.update(grads, state.opt_state, masters)
+        new_params = optax.apply_updates(masters, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, bn_state=new_bn,
+            opt_state=new_opt)
+        return new_state, {"loss": loss, "last_out": last_out}
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), bspec),
+        out_specs=(P(), {"loss": P(), "last_out": P(DATA_AXIS)}),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
 def quant_eval_params(params, qcfg: QuantConfig, policy: str = "reference"):

@@ -118,6 +118,68 @@ class TestForwardParity:
                          x, cfg=cfg, train=False)
 
 
+class TestQuantStacked:
+    """Quant transforms on natively stacked storage == stack(transform of
+    canonical): per-filter reductions vmap over the slot dim and the
+    reference's last-intermedia-adapter exclusion maps to the stacked
+    leaf's last slice (ref:utils/quantize.py:85-91)."""
+
+    @pytest.mark.parametrize("policy", ["reference", "heads_out"])
+    def test_transforms_match_canonical(self, policy):
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.quant import (
+            preprocess_masters,
+            quantize_params,
+            selected_conv_predicate,
+        )
+
+        cfg = _cfg(layer_num=5, loss_num=5)
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        params, _ = init_cu_net(jax.random.PRNGKey(0), cfg)
+        sp = stack_steady(params, cfg)
+
+        pred_c = selected_conv_predicate(params, policy)
+        pred_s = selected_conv_predicate(sp, policy)
+
+        def both(p, pred):
+            return quantize_params(preprocess_masters(p, qcfg, pred),
+                                   qcfg, pred)
+
+        ref = stack_steady(both(params, pred_c), cfg)
+        got = both(sp, pred_s)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6),
+            ref, got)
+
+    def test_quant_train_step_stacked(self):
+        """quant_train_step runs on stacked masters (CLI fast path) and the
+        loss matches the canonical run exactly."""
+        import optax
+
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.train.quant_step import quant_train_step
+        from cunet_tpu.train.state import create_train_state
+
+        cfg = _cfg(layer_num=4, loss_num=4, bn_tile=2,
+                   bn_dtype="compute", remat="none")
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        tx = optax.sgd(1e-3)
+        batch = {
+            "image": jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3)),
+            "heatmap": jax.random.uniform(jax.random.PRNGKey(2), (4, 8, 8, 4)),
+        }
+        s_c = create_train_state(params, bn, tx)
+        s_s = create_train_state(stack_steady(params, cfg),
+                                 stack_steady(bn, cfg), tx)
+        _, m_c = quant_train_step(s_c, batch, cfg=cfg, qcfg=qcfg, tx=tx)
+        n_s, m_s = quant_train_step(s_s, batch, cfg=cfg, qcfg=qcfg, tx=tx)
+        assert is_stacked(n_s.params)
+        np.testing.assert_allclose(float(m_s["loss"]), float(m_c["loss"]),
+                                   rtol=1e-5)
+
+
 class TestCheckpointInterop:
     """Checkpoints are canonical on disk regardless of runtime layout:
     stacked runs save/load against canonical runs and vice versa."""

@@ -279,3 +279,76 @@ class TestModelFusedTrain:
         fb, _ = jax.tree_util.tree_flatten(g_l)
         for a, b in zip(fa, fb):
             np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+class TestModelFusedQuantTrain:
+    """Quantized (WIG) training through the fused kernels == the lax quant
+    path: the QuanInput STE runs IN-KERNEL at both insertion points
+    (ref:models/cu_net_prev_version_wig.py:96-100, 277-281) and the weight
+    fake-quant VJP composes through the kernels' custom VJP."""
+
+    @pytest.fixture(autouse=True)
+    def _interp(self, monkeypatch):
+        import cunet_tpu.kernels.train_slot as ts
+
+        orig = ts.fused_slot_train
+        monkeypatch.setattr(
+            ts, "fused_slot_train",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+    @pytest.mark.parametrize("use_scan", [True, False])
+    def test_quant_forward_grads_parity(self, use_scan):
+        from cunet_tpu.config import QuantConfig
+        from cunet_tpu.models import apply_cu_net
+        from cunet_tpu.quant import (
+            preprocess_masters,
+            quantize_params,
+            selected_conv_predicate,
+        )
+
+        SMALL = dict(layer_num=3, order=1, loss_num=3, class_num=4,
+                     neck_size=2, growth_rate=8, init_chan_num=16,
+                     num_blocks=2, bn_tile=2, compute_dtype="float32")
+        cfg_p = ModelConfig(use_pallas=True, use_scan=use_scan,
+                            bn_dtype="compute", remat="none", **SMALL)
+        cfg_l = ModelConfig(use_pallas=False, use_scan=False,
+                            bn_dtype="compute", remat="none", **SMALL)
+        qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        t = jax.random.uniform(jax.random.PRNGKey(2), (4, 8, 8, 4))
+        pred = selected_conv_predicate(params, "reference")
+        masters = preprocess_masters(params, qcfg, pred)
+
+        def loss(m, cfg):
+            qp = quantize_params(m, qcfg, pred)
+            outs, ns = apply_cu_net(qp, state, x, cfg=cfg, train=True,
+                                    quant=qcfg)
+            return sum(jnp.mean((o - t) ** 2) for o in outs), (outs, ns)
+
+        (l_p, (outs_p, ns_p)), g_p = jax.value_and_grad(
+            loss, has_aux=True)(masters, cfg_p)
+        (l_l, (outs_l, ns_l)), g_l = jax.value_and_grad(
+            loss, has_aux=True)(masters, cfg_l)
+
+        np.testing.assert_allclose(l_p, l_l, rtol=1e-4)
+        for a, b in zip(outs_p, outs_l):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        fa, ta = jax.tree_util.tree_flatten(ns_p)
+        fb, tb = jax.tree_util.tree_flatten(ns_l)
+        assert ta == tb
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        # master-weight grad parity: XNOR jacobian + grad-quantization +
+        # in-kernel STE all compose identically to the lax path. The final
+        # grads are quantized to bits_g (steps of 1/S(bits_g)), so an f32
+        # reduction-order difference can flip a value sitting exactly on a
+        # rounding boundary by ONE step — allow that on <=0.5% of elements.
+        step = 1.0 / 2.0 ** (qcfg.bits_g - 1)
+        fa, _ = jax.tree_util.tree_flatten(g_p)
+        fb, _ = jax.tree_util.tree_flatten(g_l)
+        for a, b in zip(fa, fb):
+            diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+            bad = diff > 3e-3 + 3e-3 * np.abs(np.asarray(b))
+            assert bad.mean() <= 0.005, f"{bad.mean():.4f} of elements differ"
+            np.testing.assert_array_less(diff[bad], step * 1.001)

@@ -47,7 +47,10 @@ def main():
     x = jnp.ones((batch, 256, 256, 3), jnp.bfloat16)
     compiled = jax.jit(fwd).lower(params, state, x).compile()
     s0, _ = compiled(params, state, x)
-    assert np.isfinite(float(s0))
+    if "headdma" not in ablate:      # headdma leaves the output garbage
+        assert np.isfinite(float(s0))
+    else:
+        float(s0)
     n_iters = 15
     times = []
     for _ in range(3):

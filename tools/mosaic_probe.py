@@ -1,0 +1,120 @@
+"""Per-op Mosaic cost probes for the tera-kernel's elementwise passes.
+
+Looped microbenchmarks are invalid inside Mosaic kernels (loop-invariant
+dots/ops hoist), so every probe is a DEPENDENCY CHAIN: y = f(y) repeated P
+times cannot be hoisted or CSE'd. Timing the chain at two depths (P_hi,
+P_lo) and taking the slope isolates the per-op cost from launch/stream
+overhead. The input block varies per grid step so nothing is grid-invariant.
+
+Outputs a table of ns/op and effective VMEM bytes/s per op kind — the
+constants that calibrate the tera-kernel pass-cost model in PARITY.md.
+
+Usage (TPU):  timeout 600 python tools/mosaic_probe.py
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS = 1024          # rows per grid step
+GRID = 32            # grid steps per launch
+P_HI = 16            # chain depth (per-op cost = (t - t_base) / P_HI)
+
+
+def _op(kind, y):
+    if kind == "mul":
+        return y * 1.0001
+    if kind == "affine":                 # mul+add: tests FMA fusion
+        return y * 1.0001 + 0.0001
+    if kind == "affine_vec":             # broadcast (1, C) operands like BN
+        v = jnp.full((1, y.shape[-1]), 1.0001, y.dtype)
+        b = jnp.full((1, y.shape[-1]), 0.0001, y.dtype)
+        return y * v + b
+    if kind == "relu":
+        return jnp.maximum(y, 0.000123)
+    if kind == "affine_relu":            # the full BN prologue op pair
+        return jnp.maximum(y * 1.0001 + 0.0001, 0.000123)
+    if kind == "cast2":                  # f32 -> bf16 -> f32 round trip
+        return y.astype(jnp.bfloat16).astype(jnp.float32) * 1.0001
+    if kind == "lane_roll32":            # misaligned lane slice analog
+        return jnp.roll(y, 32, axis=-1) * 1.0001
+    if kind == "sublane_roll1":          # dx conv-tap shift analog
+        return jnp.roll(y, 1, axis=0) * 1.0001
+    if kind == "add_slice32":            # scatter-conv tap add analog
+        return y.at[:, :32].set(y[:, :32] + y[:, 32:64])
+    raise ValueError(kind)
+
+
+def _chain_kernel(kind, P, x_ref, o_ref):
+    y = x_ref[...]
+    for _ in range(P):
+        y = _op(kind, y)
+    o_ref[...] = y
+
+
+def run(kind, P, lanes, dtype, iters=20):
+    x = (jnp.ones((GRID * ROWS, lanes), dtype) * 0.5)
+    fn = pl.pallas_call(
+        functools.partial(_chain_kernel, kind, P),
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec((ROWS, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((ROWS, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID * ROWS, lanes), dtype),
+    )
+    f = jax.jit(lambda x: jnp.sum(fn(x).astype(jnp.float32)))
+    s = float(f(x))  # compile+warm
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(x)
+    float(r)  # fetch forces the queue through the axon relay
+    return (time.perf_counter() - t0) / iters
+
+
+_BASE = {}
+
+
+def probe(kind, lanes=256, dtype=jnp.float32):
+    key = (lanes, np.dtype(dtype).name)
+    if key not in _BASE:
+        _BASE[key] = run("mul", 0, lanes, dtype)   # launch + HBM stream
+    per_op = (run(kind, P_HI, lanes, dtype) - _BASE[key]) / P_HI
+    n_el = GRID * ROWS * lanes
+    bsz = np.dtype(dtype).itemsize
+    gbps = 2 * n_el * bsz / per_op / 1e9 if per_op > 0 else float("inf")
+    print(f"{kind:16s} lanes={lanes:4d} {np.dtype(dtype).name:8s} "
+          f"per-op {per_op*1e6:8.1f} us  rw-bw {gbps:8.0f} GB/s  "
+          f"({per_op/ (GRID*ROWS) *1e9:6.2f} ns/row)", flush=True)
+    return per_op
+
+
+def main():
+    import sys
+    sel = sys.argv[1:] or ["core"]
+    print(f"device: {jax.devices()[0].device_kind}; "
+          f"block rows={ROWS} grid={GRID} base={_BASE}", flush=True)
+    if "core" in sel:
+        for kind in ["mul", "affine", "affine_relu", "cast2",
+                     "lane_roll32", "sublane_roll1"]:
+            probe(kind)
+    if "width" in sel:
+        for lanes in [32, 128]:
+            probe("mul", lanes=lanes)
+        probe("mul", dtype=jnp.bfloat16)
+        probe("affine_relu", dtype=jnp.bfloat16)
+    if "extra" in sel:
+        for kind in ["affine_vec", "relu", "add_slice32"]:
+            probe(kind)
+
+
+if __name__ == "__main__":
+    main()

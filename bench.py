@@ -234,6 +234,7 @@ if __name__ == "__main__":
         # so a failure there cannot take down the headline.
         for label, fn in (
             ("train", bench_train),
+            ("quant_train", lambda: bench_train(quant=True)),
             ("k16", lambda: main(layer_num=16, metric_tag="cu_net16")),
             ("int8", lambda: main(metric_tag="cu_net8_int8", int8=True)),
         ):

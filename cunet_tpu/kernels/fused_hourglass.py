@@ -65,12 +65,18 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
         # t[p, (dy,dx)*G:c] = y2[p] @ w3[dy,dx]; out[o] = sum_d t[o+d-1, d]
         assert w3.ndim == 2, "scatter mode needs the host-packed (Cb, 9G) weight"
         cout = w3.shape[-1] // 9
-        # the per-tap matrix t is the kernel's largest transient; keep it in
-        # the compute dtype (bf16 halves it) and accumulate the 9 taps in f32
+        # the per-tap matrix t is the kernel's largest transient. Default:
+        # keep it in the compute dtype (bf16 halves it) and upcast each tap
+        # slice into the f32 accumulator. CUNET_TAPS_F32=1 keeps t in f32
+        # instead: 2x the pad/transient bytes, but drops the (m, 9G)
+        # downcast pass and the 9 per-tap upcast passes.
+        t32 = _TAPS_F32 and y2.dtype != jnp.float32
         t = jax.lax.dot_general(
             y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
             preferred_element_type=_dot_out_type(y2.dtype),
-        ).astype(y2.dtype)
+        )
+        if not t32:
+            t = t.astype(y2.dtype)
         if "scatteradd" in _ABLATE:   # keep the dot, drop the 9 tap adds
             return t[:, :cout].astype(jnp.float32)
         tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
@@ -186,6 +192,7 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
 # small channel counts (c=16 test configs); repeat is 2% slower (rejected).
 _POOL_MODE = os.environ.get("CUNET_POOL_MODE", "max2step")
 _UPS_MODE = os.environ.get("CUNET_UPS_MODE", "cat")
+_TAPS_F32 = os.environ.get("CUNET_TAPS_F32", "0") == "1"
 
 
 def _maxpool2(x, h, w, b=1):

@@ -263,13 +263,24 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                                            d * gch:(d + 1) * gch]
                     out32 = acc.reshape(ci * res * res, gch).astype(dtype)
                 else:
-                    yb = _bottleneck_val(buf[r, :kin], wset["vec_b"][:, :kin],
-                                         wset["w_b"][:kin], dtype)
+                    if "bottleneck" in _ABLATE:  # timing probe: wrong values
+                        yb = buf[r, :wset["w_b"].shape[-1]].astype(jnp.float32)
+                    else:
+                        yb = _bottleneck_val(buf[r, :kin],
+                                             wset["vec_b"][:, :kin],
+                                             wset["w_b"][:kin], dtype)
                     # vec2 scale pre-folded into w_b (models/cu_net.py
                     # _hg_wset)
-                    y2 = jnp.maximum(yb + wset["vec2"][1, :],
-                                     0.0).astype(dtype)
-                    out32 = _conv3x3(y2, wset["w3"], ci, res, res).astype(dtype)
+                    if "vec2" in _ABLATE:
+                        y2 = yb.astype(dtype)
+                    else:
+                        y2 = jnp.maximum(yb + wset["vec2"][1, :],
+                                         0.0).astype(dtype)
+                    if "conv" in _ABLATE:
+                        out32 = y2[:, :g]
+                    else:
+                        out32 = _conv3x3(y2, wset["w3"], ci, res,
+                                         res).astype(dtype)
                 # out32 goes into its slot right after the *current* fifo
                 # tail so the adapter input [0 : kin+g] stays one
                 # contiguous slice
@@ -283,6 +294,11 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                                               wset["w_s"], s_i8).astype(dtype)
                         up_pos = nb + 1 + (nb - 1 - pos)
                         buf_at(up_pos)[r, c:2 * c] = skip
+                elif "adapters" in _ABLATE:  # timing probe: wrong values
+                    ahead = buf[r, :c][...]
+                    if has_skip:
+                        up_pos = nb + 1 + (nb - 1 - pos)
+                        buf_at(up_pos)[r, c:2 * c] = ahead
                 else:
                     ahead = _bottleneck_val(buf[r, :x2k],
                                             wset["vec_a"][:, :x2k],

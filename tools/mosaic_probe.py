@@ -97,6 +97,59 @@ def probe(kind, lanes=256, dtype=jnp.float32):
     return per_op
 
 
+def _overlap_kernel(n_dots, n_vpu, x_ref, w_ref, z_ref, o_ref, oz_ref):
+    """n_dots chained (rows,512)@(512,512) dots + n_vpu chained elementwise
+    ops on an INDEPENDENT buffer. If Mosaic/the core overlaps MXU and VPU,
+    t(both) ~ max(t(dots), t(vpu)); if passes serialize, t ~ sum."""
+    y = x_ref[...]
+    z = z_ref[...]
+    w = w_ref[...]
+    for i in range(max(n_dots, n_vpu)):
+        if i < n_dots:
+            y = jax.lax.dot_general(
+                y, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        if i < n_vpu:
+            z = jnp.maximum(z * 1.0001 + 0.0001, 0.000123)
+    o_ref[...] = y
+    oz_ref[...] = z
+
+
+def overlap_probe(n_dots, n_vpu, iters=20):
+    rows, k, zr, zl = 512, 512, 2048, 512
+    x = jnp.full((GRID * rows, k), 0.01, jnp.bfloat16)
+    w = (jnp.eye(k) * 0.99).astype(jnp.bfloat16)
+    z = jnp.full((GRID * zr, zl), 0.5, jnp.float32)
+    fn = pl.pallas_call(
+        functools.partial(_overlap_kernel, n_dots, n_vpu),
+        grid=(GRID,),
+        in_specs=[pl.BlockSpec((rows, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((zr, zl), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((rows, k), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((zr, zl), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((GRID * rows, k), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((GRID * zr, zl), jnp.float32)],
+    )
+    f = jax.jit(lambda x, w, z: sum(
+        jnp.sum(o.astype(jnp.float32)) for o in fn(x, w, z)))
+    s = float(f(x, w, z))
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(x, w, z)
+    float(r)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"dots={n_dots:2d} vpu={n_vpu:2d}: {dt*1e6:9.1f} us", flush=True)
+    return dt
+
+
 def main():
     import sys
     sel = sys.argv[1:] or ["core"]
@@ -114,6 +167,11 @@ def main():
     if "extra" in sel:
         for kind in ["affine_vec", "relu", "add_slice32"]:
             probe(kind)
+    if "overlap" in sel:
+        overlap_probe(0, 0)    # skeleton
+        overlap_probe(12, 0)   # MXU only
+        overlap_probe(0, 24)   # VPU only
+        overlap_probe(12, 24)  # both: max => overlap, sum => serial
 
 
 if __name__ == "__main__":

@@ -81,12 +81,17 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
             return t[:, :cout].astype(jnp.float32)
         tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
                      ((0, 0), (1, 1), (1, 1), (0, 0)))
-        acc = jnp.zeros((b, h, w, cout), jnp.float32)
+        # CUNET_TAPS_ACC=bf16: accumulate the 9 taps in bf16 (numerics: a
+        # 9-term bf16 sum of same-scale terms loses <=3 ulp vs the f32
+        # accumulate; the output is cast to bf16 either way). Skips the 9
+        # per-tap upcasts and the final downcast — experiment knob.
+        acc_dt = jnp.float32 if (t32 or _TAPS_ACC != "bf16") else y2.dtype
+        acc = jnp.zeros((b, h, w, cout), acc_dt)
         for dy in range(3):
             for dx in range(3):
                 d = dy * 3 + dx
                 acc = acc + tp[:, dy:dy + h, dx:dx + w,
-                               d * cout:(d + 1) * cout].astype(jnp.float32)
+                               d * cout:(d + 1) * cout].astype(acc_dt)
         return acc.reshape(m, cout)
     cout = w3.shape[-1]
     ypad = jnp.pad(y2.reshape(b, h, w, cb), ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -193,6 +198,7 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
 _POOL_MODE = os.environ.get("CUNET_POOL_MODE", "max2step")
 _UPS_MODE = os.environ.get("CUNET_UPS_MODE", "cat")
 _TAPS_F32 = os.environ.get("CUNET_TAPS_F32", "0") == "1"
+_TAPS_ACC = os.environ.get("CUNET_TAPS_ACC", "f32")
 
 
 def _maxpool2(x, h, w, b=1):

@@ -1,0 +1,40 @@
+#!/bin/bash
+# Round-3 inference perf sweep. Run when the axon relay is healthy.
+# One TPU process per config (env knobs latch at import), generous
+# per-run timeouts INSIDE the command (killing a TPU process mid-claim
+# wedges the relay 15-35 min — never Ctrl-C / pkill these).
+#
+# Usage: bash tools/sweep_infer.sh [outdir]   (default /tmp/r3sweep)
+set -u
+OUT=${1:-/tmp/r3sweep}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  if [ -s "$OUT/$name.done" ]; then echo "skip $name"; return; fi
+  echo "=== $name ($(date +%H:%M:%S))"
+  timeout "$t" "$@" >"$OUT/$name.log" 2>&1
+  local rc=$?
+  tail -2 "$OUT/$name.log"
+  [ $rc -eq 0 ] && echo ok > "$OUT/$name.done" || echo "rc=$rc (kept for retry)"
+}
+
+# 1. today's baseline (relay throughput varies ~10% day to day; doubles as
+#    the ablation reference)
+run base        420 python tools/ablate_infer.py none
+# 2. MXU/VPU overlap question — shapes the whole optimization strategy
+run overlap     600 python tools/mosaic_probe.py overlap
+# 3. per-op pass-cost constants
+run probe_core  600 python tools/mosaic_probe.py core extra
+# 4. chunk-rows scaling (fewer, larger passes at high res)
+CUNET_TERA_CHUNK_ROWS=8192  run chunk8k  420 python tools/ablate_infer.py none
+CUNET_TERA_CHUNK_ROWS=16384 run chunk16k 420 python tools/ablate_infer.py none
+# 5. tap-matrix dtype experiments (scatter-conv epilogue)
+CUNET_TAPS_F32=1     run taps_f32  420 python tools/ablate_infer.py none
+CUNET_TAPS_ACC=bf16  run taps_bf16 420 python tools/ablate_infer.py none
+# 6. stage ablation decomposition at the current default tile
+for a in none bottleneck adapters conv scatteradd vec2 fifo pools affine headdma; do
+  run "ab_$a" 420 python tools/ablate_infer.py "$a"
+done
+echo "sweep complete: $OUT"

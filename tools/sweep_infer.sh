@@ -37,4 +37,14 @@ CUNET_TAPS_ACC=bf16  run taps_bf16 420 python tools/ablate_infer.py none
 for a in none bottleneck adapters conv scatteradd vec2 fifo pools affine headdma; do
   run "ab_$a" 420 python tools/ablate_infer.py "$a"
 done
+# 7. K=16 tile scaling (HBM head/stem DMA + chunking may unlock bt>2 now;
+#    fori chunk loop keeps the compile bounded at large tiles)
+CUNET_TERA_BATCH_TILE=4 run k16_bt4 900 python tools/ablate_infer.py none 16
+CUNET_TERA_BATCH_TILE=4 CUNET_CHUNK_LOOP=fori \
+  run k16_bt4f 900 python tools/ablate_infer.py none 16
+# 8. int8 tile scaling (VERDICT #6: int8 must beat bf16 or stop advertising)
+CUNET_TERA_BATCH_TILE=4 CUNET_CHUNK_LOOP=fori \
+  run i8_bt4f 900 python bench.py --int8
+CUNET_TERA_BATCH_TILE=8 CUNET_CHUNK_LOOP=fori \
+  run i8_bt8f 900 python bench.py --int8
 echo "sweep complete: $OUT"

@@ -77,7 +77,7 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
     return 3.2 * conv_flops_per_image(cfg)
 
 
-def bench_train(quant: bool = False):
+def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
     workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
     ``quant``: the WAGE W1/I8/G8 protocol (ref:cu-net-prev-version-wig.py
@@ -95,8 +95,7 @@ def bench_train(quant: bool = False):
     # unrolled slots' speed at scan-mode compile times.
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
                       compute_dtype="bfloat16", remat="none",
-                      use_pallas=True, bn_tile=2, bn_dtype="compute")
-    bs = 24
+                      use_pallas=True, bn_tile=bn_tile, bn_dtype="compute")
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
     state = create_train_state(stack_steady(params, cfg),
@@ -123,9 +122,10 @@ def bench_train(quant: bool = False):
         assert np.isfinite(float(m["loss"]))  # fetch forces the queue
         times.append((time.perf_counter() - t0) / n_iters)
     dt = statistics.median(times)
+    tag = "" if bn_tile == 2 else f"_bn{bn_tile}"
     print(json.dumps({
-        "metric": ("cu_net8_256_quant_w1i8g8_train_images_per_sec_per_chip"
-                   if quant else "cu_net8_256_train_images_per_sec_per_chip"),
+        "metric": (f"cu_net8_256_quant_w1i8g8_train{tag}_images_per_sec_per_chip"
+                   if quant else f"cu_net8_256_train{tag}_images_per_sec_per_chip"),
         "value": round(bs / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(train_flops_per_image(cfg) * bs / dt

@@ -256,7 +256,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         # WIG insertion point No.1: quantize activations between the ReLU
         # and the 3x3 conv (ref:models/cu_net_prev_version_wig.py:96-100)
         z2 = _quan(z2, meta["bits_i"])
-        out32 = _conv3x3(z2, wset["w3"], bt, h, w, mode="scatter").astype(dtype)
+        out32 = _conv3x3_t(z2, wset["w3"], bt, h, w).astype(dtype)
         x2 = jnp.concatenate([x_cat, out32], axis=-1)
         ahead = stage(x2, wset["bn_a"], wset["w_a"]).astype(dtype)
         skip = None
@@ -542,6 +542,39 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps, bits_i=0):
 
 _CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "catc")
 
+# Row budget for the scatter-conv's tap transient inside the TRAIN kernels.
+# The (rows, 9G) fp32 tap matrix (and its padded copy) is the kernels'
+# largest live value: at bn_tile 4 and 64x64 it alone is ~19 MB x2, which is
+# what pushed the whole-slot kernels past v5e's 128 MB VMEM at bn_tile > 2
+# (PARITY.md round-2 record). Chunking the conv over image groups bounds
+# the transient without touching BN semantics (stats are computed on the
+# full tile; the 3x3 conv is per-image). Read at trace time so tests can
+# monkeypatch it; the value is NOT part of the kernel cache key, so override
+# it only alongside a config change (tests use a distinct bn_tile).
+_TRAIN_CONV_CHUNK = int(os.environ.get("CUNET_TRAIN_CONV_CHUNK", "8192"))
+
+
+def _conv_chunk_imgs(bt: int, h: int, w: int) -> int:
+    """Images per conv chunk: largest power-of-two divisor of ``bt`` whose
+    row count stays within the transient budget."""
+    ci = bt
+    while ci > 1 and ci * h * w > _TRAIN_CONV_CHUNK:
+        ci //= 2
+    return ci
+
+
+def _conv3x3_t(z2, w3, bt, h, w):
+    """Train-kernel 3x3 conv forward, chunked over image groups (see
+    _TRAIN_CONV_CHUNK). Numerically identical to the unchunked call — the
+    conv never mixes images."""
+    ci = _conv_chunk_imgs(bt, h, w)
+    if ci == bt:
+        return _conv3x3(z2, w3, bt, h, w, mode="scatter")
+    m = ci * h * w
+    parts = [_conv3x3(z2[u * m:(u + 1) * m], w3, ci, h, w, mode="scatter")
+             for u in range(bt // ci)]
+    return jnp.concatenate(parts, axis=0)
+
 
 def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
     """Backward of the scatter-form 3x3 conv (host-packed (Cb, 9G) weight).
@@ -575,6 +608,25 @@ def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
         d_z2 = term if d_z2 is None else d_z2 + term
         dW3_parts.append(_dot_dw(z2, sl, dtype))
     return d_z2, jnp.concatenate(dW3_parts, axis=-1)
+
+
+def _conv3x3_bwd_t(z2, w3p, d_out32, bt, h, w, dtype):
+    """Chunked-over-images conv3x3 backward (see _TRAIN_CONV_CHUNK): the
+    (rows, 9G) shifted-cotangent concat is the backward launches' largest
+    transient. dW3 accumulates across chunks in fp32 (same accumulation
+    dtype as the unchunked fat dot; summation grouping differs by chunk
+    boundary only)."""
+    ci = _conv_chunk_imgs(bt, h, w)
+    if ci == bt:
+        return _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype)
+    m = ci * h * w
+    d_z2_parts, dW3 = [], None
+    for u in range(bt // ci):
+        dz, dw = _conv3x3_bwd(z2[u * m:(u + 1) * m], w3p,
+                              d_out32[u * m:(u + 1) * m], ci, h, w, dtype)
+        d_z2_parts.append(dz)
+        dW3 = dw if dW3 is None else dW3 + dw
+    return jnp.concatenate(d_z2_parts, axis=0), dW3
 
 
 def _upsample2_cat(x, h, w, bt):
@@ -680,8 +732,7 @@ def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead,
     # z2 keeps the pre-quant value for the STE mask and the BN2 backward
     z2q = _quan(z2, meta["bits_i"])
     if out32 is None:
-        out32 = _conv3x3(z2q, wset["w3"], bt, h, h,
-                         mode="scatter").astype(dtype)
+        out32 = _conv3x3_t(z2q, wset["w3"], bt, h, h).astype(dtype)
     x2 = jnp.concatenate([x_cat, out32], axis=-1)
     vals = dict(x_cat=x_cat, z1=z1, yb=yb, z2=z2, z2q=z2q, out32=out32,
                 x2=x2)
@@ -728,8 +779,8 @@ def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
     d_out32 = d_x2[:, k1:] + d_out32_e.astype(jnp.float32)
     # 3x3 conv backward (dW against the quantized activations the forward
     # consumed), then the QuanInput STE gate on the activation cotangent
-    d_z2, dW3 = _conv3x3_bwd(vals["z2q"], wset["w3"], d_out32, bt, h, h,
-                             dtype)
+    d_z2, dW3 = _conv3x3_bwd_t(vals["z2q"], wset["w3"], d_out32, bt, h, h,
+                               dtype)
     acc(dW_refs_b["w3"], dW3)
     if meta["bits_i"] and meta["bits_i"] <= 15:
         d_z2 = _ste_mask(d_z2, z2)

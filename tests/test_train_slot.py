@@ -352,3 +352,57 @@ class TestModelFusedQuantTrain:
             bad = diff > 3e-3 + 3e-3 * np.abs(np.asarray(b))
             assert bad.mean() <= 0.005, f"{bad.mean():.4f} of elements differ"
             np.testing.assert_array_less(diff[bad], step * 1.001)
+
+
+class TestConvChunkBnTile4:
+    """bn_tile=4 through the whole-slot kernels: the scatter-conv transient
+    chunks over image groups (_TRAIN_CONV_CHUNK; the VMEM enabler for ghost
+    tiles > 2, VERDICT r2 #4/#6-weak). BN stats stay full-tile — parity vs
+    the lax ghost-BN oracle at tile 4, chunking forced to per-image."""
+
+    @pytest.fixture(autouse=True)
+    def _interp_and_chunk(self, monkeypatch):
+        import cunet_tpu.kernels.train_slot as ts
+
+        orig = ts.fused_slot_train
+        monkeypatch.setattr(
+            ts, "fused_slot_train",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+        # h0=8 -> 64 rows/image; budget 64 forces per-image conv chunks
+        monkeypatch.setattr(ts, "_TRAIN_CONV_CHUNK", 64)
+
+    def test_forward_grads_state_parity_tile4(self):
+        from cunet_tpu.models import apply_cu_net
+
+        SMALL = dict(layer_num=3, order=1, loss_num=3, class_num=4,
+                     neck_size=2, growth_rate=8, init_chan_num=16,
+                     num_blocks=2, bn_tile=4, compute_dtype="float32")
+        cfg_p = ModelConfig(use_pallas=True, use_scan=True,
+                            bn_dtype="compute", remat="none", **SMALL)
+        cfg_l = ModelConfig(use_pallas=False, use_scan=False,
+                            bn_dtype="compute", remat="none", **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        t = jax.random.uniform(jax.random.PRNGKey(2), (4, 8, 8, 4))
+
+        def loss(p, cfg):
+            outs, ns = apply_cu_net(p, state, x, cfg=cfg, train=True)
+            return sum(jnp.mean((o - t) ** 2) for o in outs), (outs, ns)
+
+        (l_p, (outs_p, ns_p)), g_p = jax.value_and_grad(
+            loss, has_aux=True)(params, cfg_p)
+        (l_l, (outs_l, ns_l)), g_l = jax.value_and_grad(
+            loss, has_aux=True)(params, cfg_l)
+
+        np.testing.assert_allclose(l_p, l_l, rtol=1e-4)
+        for a, b in zip(outs_p, outs_l):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        fa, ta = jax.tree_util.tree_flatten(ns_p)
+        fb, tb = jax.tree_util.tree_flatten(ns_l)
+        assert ta == tb
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        fa, _ = jax.tree_util.tree_flatten(g_p)
+        fb, _ = jax.tree_util.tree_flatten(g_l)
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)

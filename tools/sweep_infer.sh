@@ -47,4 +47,7 @@ CUNET_TERA_BATCH_TILE=4 CUNET_CHUNK_LOOP=fori \
   run i8_bt4f 900 python bench.py --int8
 CUNET_TERA_BATCH_TILE=8 CUNET_CHUNK_LOOP=fori \
   run i8_bt8f 900 python bench.py --int8
+# 9. bn_tile=4 ghost-BN train step (conv transients now chunk;
+#    VMEM compile check + step timing — VERDICT #4)
+run bn4_train 1500 python -c "import bench; bench.bench_train(bn_tile=4)"
 echo "sweep complete: $OUT"

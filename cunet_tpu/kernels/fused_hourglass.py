@@ -86,6 +86,20 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
         # accumulate; the output is cast to bf16 either way). Skips the 9
         # per-tap upcasts and the final downcast — experiment knob.
         acc_dt = jnp.float32 if (t32 or _TAPS_ACC != "bf16") else y2.dtype
+        if _SCATTER_ADD == "tree2":
+            # two-level gather: sum over dy at 3G-lane width first (the tap
+            # columns are dy-major, so one slice covers all three dx taps of
+            # a dy), then over dx at G width. 3 + 3 slice-adds instead of 9;
+            # the wide adds run at 3G=96 lanes instead of G=32 — VPU vregs
+            # are 128 lanes, so a G-wide add wastes 3/4 of the lanes.
+            w3g = tp[:, 0:h, :, 0:3 * cout].astype(acc_dt)
+            for dy in (1, 2):
+                w3g = w3g + tp[:, dy:dy + h, :,
+                               dy * 3 * cout:(dy + 1) * 3 * cout].astype(acc_dt)
+            acc = w3g[:, :, 0:w, 0:cout]
+            for dx in (1, 2):
+                acc = acc + w3g[:, :, dx:dx + w, dx * cout:(dx + 1) * cout]
+            return acc.reshape(m, cout)
         acc = jnp.zeros((b, h, w, cout), acc_dt)
         for dy in range(3):
             for dx in range(3):
@@ -199,6 +213,7 @@ _POOL_MODE = os.environ.get("CUNET_POOL_MODE", "max2step")
 _UPS_MODE = os.environ.get("CUNET_UPS_MODE", "cat")
 _TAPS_F32 = os.environ.get("CUNET_TAPS_F32", "0") == "1"
 _TAPS_ACC = os.environ.get("CUNET_TAPS_ACC", "f32")
+_SCATTER_ADD = os.environ.get("CUNET_SCATTER_ADD", "flat9")
 
 
 def _maxpool2(x, h, w, b=1):

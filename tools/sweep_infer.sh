@@ -33,6 +33,9 @@ CUNET_TERA_CHUNK_ROWS=16384 run chunk16k 420 python tools/ablate_infer.py none
 # 5. tap-matrix dtype experiments (scatter-conv epilogue)
 CUNET_TAPS_F32=1     run taps_f32  420 python tools/ablate_infer.py none
 CUNET_TAPS_ACC=bf16  run taps_bf16 420 python tools/ablate_infer.py none
+CUNET_SCATTER_ADD=tree2 run tree2  420 python tools/ablate_infer.py none
+CUNET_SCATTER_ADD=tree2 CUNET_TAPS_ACC=bf16 \
+  run tree2_bf16 420 python tools/ablate_infer.py none
 # 6. stage ablation decomposition at the current default tile
 for a in none bottleneck adapters conv scatteradd vec2 fifo pools affine headdma; do
   run "ab_$a" 420 python tools/ablate_infer.py "$a"

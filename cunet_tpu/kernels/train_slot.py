@@ -600,6 +600,16 @@ def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
             [jnp.concatenate([sl[:, :g // 2], sl[:, g // 2:]], axis=-1)
              for sl in slices], axis=-1)
         return _dot_dx(d_t, w3p, dtype), _dot_dw(z2, d_t, dtype)
+    if _CONV_BWD_MODE == "catc3":
+        # dy-grouped build: 3 inner concats of 3 shifted slices + 1 outer
+        # concat — 4 concat ops instead of 9 split-reconcat canonicalizations
+        # + 1 concat. Compile-probe on-chip: multi-part concats of
+        # spatially-shifted slices may still hit Mosaic's "offset mismatch
+        # on non-concat dimension" (the reason catc canonicalizes per slice).
+        d_t = jnp.concatenate(
+            [jnp.concatenate(slices[3 * dy:3 * dy + 3], axis=-1)
+             for dy in range(3)], axis=-1)
+        return _dot_dx(d_t, w3p, dtype), _dot_dw(z2, d_t, dtype)
     d_z2 = None  # seed from the first tap dot — a zeros init gets a
     # replicated Mosaic layout that can hit "Invalid relayout" downstream
     dW3_parts = []

@@ -53,4 +53,6 @@ CUNET_TERA_BATCH_TILE=8 CUNET_CHUNK_LOOP=fori \
 # 9. bn_tile=4 ghost-BN train step (conv transients now chunk;
 #    VMEM compile check + step timing — VERDICT #4)
 run bn4_train 1500 python -c "import bench; bench.bench_train(bn_tile=4)"
+# 10. train backward d_t builder variant (compile may fail — that's data)
+CUNET_CONV_BWD=catc3 run tr_catc3 1500 python bench.py --train
 echo "sweep complete: $OUT"

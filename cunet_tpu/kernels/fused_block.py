@@ -240,6 +240,9 @@ def fused_dense_block_infer(
     (ahead[, skip][, layer_out][, head_out][, pre_out]); ahead is 2x2-
     maxpooled when ``pool_ahead``.
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     f0 = features[0]
     n = f0.shape[0]
     h = f0.shape[1] * (2 if upsample_first else 1)

@@ -92,6 +92,9 @@ def fused_bottleneck_infer(
 
     Falls back to the pure-lax formulation when the row count doesn't tile.
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n, h, wd, _ = features[0].shape
     m = n * h * wd
     cout = w.shape[3]
@@ -184,6 +187,9 @@ def fused_dual_bottleneck_infer(
     shares every input read and launches once — on a launch-overhead-bound
     chip this halves the adapter cost outright.
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n, h, wd, _ = features[0].shape
     m = n * h * wd
     cout = w_a.shape[3]

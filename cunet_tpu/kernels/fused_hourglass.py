@@ -368,6 +368,9 @@ def fused_hourglass_infer(
     down 0..nb-1, neck, up nb-1..0 (traversal order). Returns
     (y_out, head_out[, pre_out][, layer_outs...]) with layer_outs in
     traversal order."""
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n = y.shape[0]
     h0 = y.shape[1]
     dtype = y.dtype

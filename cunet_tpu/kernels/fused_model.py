@@ -153,6 +153,9 @@ def fused_model_infer(
     up nb-1..0), ``head`` = (vec, w) or None (unanchored).
     Returns a tuple of anchored head heatmaps (N, h0, h0, class_num).
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n, h0 = y_stem.shape[0], y_stem.shape[1]
     dtype = y_stem.dtype
 
@@ -426,6 +429,9 @@ def fused_model_loop_infer(
     multiplying every matmul's M dimension. Requires ``slot_args[i]["head"]``
     for all slots (params always carry all K heads).
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n, h0 = y_stem.shape[0], y_stem.shape[1]
     dtype = y_stem.dtype
     start = max(order, 1)

@@ -451,6 +451,9 @@ def fused_model_buf_infer(
     bits_i-quantized activations; intermedia adapters stay float (excluded
     from activation quantization, matching the lax int8_infer path exactly).
     In that mode the wsets must NOT have vec2 folded into w_b."""
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     n, h0 = y_stem.shape[0], y_stem.shape[1]
     c = y_stem.shape[-1]
     dtype = y_stem.dtype

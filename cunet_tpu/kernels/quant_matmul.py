@@ -130,6 +130,9 @@ def binarized_matmul_infer(
 
     x: (..., K) float; w: (1, 1, K, N). Returns (..., N) float32.
     """
+    from cunet_tpu.kernels.common import auto_interpret
+    interpret = auto_interpret(interpret)
+
     lead = x.shape[:-1]
     k = x.shape[-1]
     x_i8, x_scale = quantize_activations_i8(x.reshape(-1, k), bits_i)

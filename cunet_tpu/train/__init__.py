@@ -15,6 +15,7 @@ from cunet_tpu.train.step import (
     eval_step,
     make_sharded_eval_step,
     make_sharded_train_step,
+    make_shardmap_eval_step,
     train_step,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "make_optimizer",
     "make_sharded_eval_step",
     "make_sharded_train_step",
+    "make_shardmap_eval_step",
     "set_lr",
     "train_step",
     "weighted_l2",

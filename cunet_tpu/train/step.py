@@ -183,7 +183,49 @@ def make_shardmap_train_step(
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())
 
 
+def make_shardmap_eval_step(mesh: Mesh, cfg: ModelConfig, *, apply_fn=None):
+    """Data-parallel EVAL as an explicit shard_map — the multi-chip serving
+    construction for the Pallas inference kernels (tera/giga kernels are
+    opaque tpu_custom_calls GSPMD cannot partition, same constraint as
+    make_shardmap_train_step). Each device runs the full forward on its
+    batch shard; the scalar loss pmeans over the data axis, heatmaps stay
+    batch-sharded. Requires sp=1 (no spatial halos through the kernels)."""
+    from jax.sharding import PartitionSpec as P
+
+    from cunet_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
+
+    if mesh.shape.get(SPACE_AXIS, 1) != 1:
+        raise ValueError(
+            "the Pallas eval path shards over data only; build the mesh "
+            f"with sp=1 (got space={mesh.shape[SPACE_AXIS]})")
+    if apply_fn is None:
+        apply_fn = _default_apply(cfg)
+
+    bspec = {"image": P(DATA_AXIS), "heatmap": P(DATA_AXIS)}
+
+    def body(params, bn_state, batch):
+        outs, _ = apply_fn(params, bn_state, batch["image"], train=False)
+        loss = jax.lax.pmean(
+            intermediate_mse(outs, batch["heatmap"]), DATA_AXIS)
+        return {"loss": loss, "last_out": outs[-1]}
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), bspec),
+        out_specs={"loss": P(), "last_out": P(DATA_AXIS)},
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_eval_step(mesh: Mesh, cfg: ModelConfig):
+    """Sharded validation/serving step. Pallas-kernel configs route through
+    the explicit shard_map construction (GSPMD cannot partition the custom
+    call); lax configs keep the GSPMD jit (spatial meshes supported)."""
+    from cunet_tpu.models.cu_net import _mosaic_ok
+
+    if cfg.use_pallas and _mosaic_ok(cfg):
+        return make_shardmap_eval_step(mesh, cfg)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
     fn = functools.partial(eval_step, cfg=cfg)

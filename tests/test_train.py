@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from cunet_tpu.config import ModelConfig, TrainConfig
@@ -15,6 +16,7 @@ from cunet_tpu.train import (
     intermediate_mse,
     lr_at_epoch,
     make_optimizer,
+    make_sharded_eval_step,
     make_sharded_train_step,
     set_lr,
     train_step,
@@ -285,3 +287,50 @@ class TestShardmapPallasStep:
                         jax.tree_util.tree_leaves(ref_state.bn_state)):
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+
+class TestShardmapPallasEval:
+    """Multi-chip SERVING for the Pallas inference kernels: GSPMD cannot
+    partition the tpu_custom_call, so make_sharded_eval_step dispatches to
+    an explicit shard_map (pmean loss, batch-sharded heatmaps). SPMD must
+    equal single-device eval exactly (eval BN uses running stats — no
+    per-shard statistics involved)."""
+
+    def test_shardmap_pallas_eval_matches_single_device(self):
+        from cunet_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        assert len(jax.devices()) >= 4, "conftest must force 8 CPU devices"
+        mesh = make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2,
+                          use_pallas=True, remat="none",
+                          compute_dtype="float32", **SMALL)
+        params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
+        batch_np = {
+            "image": np.asarray(
+                jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))),
+            "heatmap": np.asarray(
+                jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 4))),
+        }
+        p_r = jax.device_put(params, replicated(mesh))
+        b_r = jax.device_put(bn, replicated(mesh))
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in batch_np.items()}
+
+        estep = make_sharded_eval_step(mesh, cfg)  # dispatches to shard_map
+        out = estep(p_r, b_r, batch)
+        ref = eval_step(params, bn, batch_np, cfg=cfg)
+        np.testing.assert_allclose(float(out["loss"]), float(ref["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["last_out"]),
+                                   np.asarray(ref["last_out"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_spatial_mesh_raises_for_pallas_eval(self):
+        from cunet_tpu.parallel import make_mesh
+        from cunet_tpu.train.step import make_shardmap_eval_step
+
+        mesh = make_mesh(dp=4, sp=2)
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2,
+                          use_pallas=True, remat="none", **SMALL)
+        with pytest.raises(ValueError, match="sp=1"):
+            make_shardmap_eval_step(mesh, cfg)

@@ -77,7 +77,8 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
     return 3.2 * conv_flops_per_image(cfg)
 
 
-def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24):
+def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
+                use_scan: bool = True):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
     workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
     ``quant``: the WAGE W1/I8/G8 protocol (ref:cu-net-prev-version-wig.py
@@ -94,12 +95,13 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24):
     # with zero per-step marshaling — the scanned step now matches the
     # unrolled slots' speed at scan-mode compile times.
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
-                      compute_dtype="bfloat16", remat="none",
+                      compute_dtype="bfloat16", remat="none", use_scan=use_scan,
                       use_pallas=True, bn_tile=bn_tile, bn_dtype="compute")
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
-    state = create_train_state(stack_steady(params, cfg),
-                               stack_steady(bn, cfg), tx)
+    if use_scan:  # stacked storage requires the scan path
+        params, bn = stack_steady(params, cfg), stack_steady(bn, cfg)
+    state = create_train_state(params, bn, tx)
     batch = {"image": jnp.ones((bs, 256, 256, 3), jnp.bfloat16),
              "heatmap": jnp.zeros((bs, 64, 64, 16), jnp.float32)}
     if quant:
@@ -108,9 +110,11 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24):
 
         qcfg = QuantConfig(bits_w=1, bits_i=8, bits_g=8, enabled=True)
         step = jax.jit(
-            lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx))
+            lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx),
+            donate_argnums=0)  # in-place param/opt updates (HBM traffic)
     else:
-        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx))
+        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx),
+                       donate_argnums=0)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     n_iters = 8

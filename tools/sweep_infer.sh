@@ -55,4 +55,12 @@ CUNET_TERA_BATCH_TILE=8 CUNET_CHUNK_LOOP=fori \
 run bn4_train 1500 python -c "import bench; bench.bench_train(bn_tile=4)"
 # 10. train backward d_t builder variant (compile may fail — that's data)
 CUNET_CONV_BWD=catc3 run tr_catc3 1500 python bench.py --train
+# 11. persistent-compile-cache probe: if the cache round-trips through the
+#    axon remote-compile path, the 25-min unrolled train compile is paid
+#    once and the driver bench can ship the 456 img/s unrolled config.
+#    Run TWICE; a warm second run (< ~3 min) = cache works.
+JAX_COMPILATION_CACHE_DIR=/tmp/axcache run tr_unroll_cold 2700 \
+  python -c "import bench; bench.bench_train(use_scan=False)"
+JAX_COMPILATION_CACHE_DIR=/tmp/axcache run tr_unroll_warm 2700 \
+  python -c "import bench; bench.bench_train(use_scan=False)"
 echo "sweep complete: $OUT"

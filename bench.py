@@ -78,7 +78,7 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
 
 
 def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
-                use_scan: bool = True):
+                use_scan: bool = True, layer_num: int = 8):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
     workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
     ``quant``: the WAGE W1/I8/G8 protocol (ref:cu-net-prev-version-wig.py
@@ -94,7 +94,8 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
     # Steady-slot params are natively STACKED so the lax.scan consumes them
     # with zero per-step marshaling — the scanned step now matches the
     # unrolled slots' speed at scan-mode compile times.
-    cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
+    cfg = ModelConfig(layer_num=layer_num, order=1, class_num=16,
+                      loss_num=layer_num,
                       compute_dtype="bfloat16", remat="none", use_scan=use_scan,
                       use_pallas=True, bn_tile=bn_tile, bn_dtype="compute")
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
@@ -127,9 +128,10 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
         times.append((time.perf_counter() - t0) / n_iters)
     dt = statistics.median(times)
     tag = "" if bn_tile == 2 else f"_bn{bn_tile}"
+    name = f"cu_net{layer_num}"
     print(json.dumps({
-        "metric": (f"cu_net8_256_quant_w1i8g8_train{tag}_images_per_sec_per_chip"
-                   if quant else f"cu_net8_256_train{tag}_images_per_sec_per_chip"),
+        "metric": (f"{name}_256_quant_w1i8g8_train{tag}_images_per_sec_per_chip"
+                   if quant else f"{name}_256_train{tag}_images_per_sec_per_chip"),
         "value": round(bs / dt, 2),
         "unit": "images/sec",
         "vs_baseline": round(train_flops_per_image(cfg) * bs / dt
@@ -239,6 +241,7 @@ if __name__ == "__main__":
         for label, fn in (
             ("train", bench_train),
             ("quant_train", lambda: bench_train(quant=True)),
+            ("k16_train", lambda: bench_train(layer_num=16, bs=12)),
             ("k16", lambda: main(layer_num=16, metric_tag="cu_net16")),
             ("int8", lambda: main(metric_tag="cu_net8_int8", int8=True)),
         ):

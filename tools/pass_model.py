@@ -1,0 +1,219 @@
+"""Analytic pass-cost model of the inference tera-kernel (VERDICT r2 #1d).
+
+Enumerates every Mosaic pass the buffer-resident tera-kernel executes for
+one 256-image CU-Net batch — per slot, per block position, per image chunk —
+and prices it with measured per-op constants from tools/mosaic_probe.py:
+
+  * VPU elementwise passes: priced per (rows x ceil(lanes/128)) vreg-rows at
+    the probed ns/row rate for the op class (affine_relu, relu/max, cast,
+    add, copy);
+  * MXU dots: priced at the bf16 peak for the padded (K, N-tile) shape;
+  * per-pass fixed cost: the probe's chain intercept.
+
+The point (per the round-2 verdict): if the kernel is VPU-pass-bound, "95%
+of conv-FLOP roofline" is the wrong bar — this model derives the achievable
+ceiling for the CURRENT pass structure, and each structural change
+(tree2 adds, bf16 tap accumulate, bigger chunks) moves a visible line item.
+
+Usage: python tools/pass_model.py [--probe probe.json] [--bt 8] [--k 8]
+Without --probe, uses the calibration constants measured on v5e (see
+PROBE_DEFAULTS below — update after each mosaic_probe run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+# ---------------------------------------------------------------------------
+# calibration constants (v5e through the axon relay). Units: ns per 8-row
+# sublane group at <=128 lanes ("vrow"), measured by tools/mosaic_probe.py
+# chain slopes. FILL IN from the probe run; placeholders below are derived
+# from first principles (VPU 8x128 lanes @ ~0.94 GHz, 1 op/cycle/lane) and
+# flagged so the report says which numbers are measured.
+# ---------------------------------------------------------------------------
+PROBE_DEFAULTS = {
+    "measured": False,
+    "ns_per_vrow": {          # one (8, 128) vreg-row through the op chain
+        "affine_relu": 2.2,   # x*a+b, relu (f32)
+        "relu": 1.1,          # single max
+        "cast": 1.1,          # dtype convert
+        "add": 1.1,           # slice add (upcasting add ~= add + cast)
+        "copy": 1.1,          # buffer slice copy / concat part / pad body
+    },
+    "fixed_ns_per_pass": 1500.0,   # per-pass overhead (chain intercept)
+    "mxu_bf16_flops": 197e12,      # dense peak
+    "mxu_int8_flops": 394e12,
+}
+
+
+def vrows(rows: int, lanes: int) -> float:
+    """(8,128)-vreg groups a (rows, lanes) pass touches."""
+    return math.ceil(rows / 8) * math.ceil(lanes / 128)
+
+
+class Model:
+    def __init__(self, probe, bt, chunk_rows, taps_acc, scatter_add,
+                 c=128, g=32, cb=128, order=1, nb=4, h0=64, cls=16):
+        self.p = probe
+        self.bt = bt
+        self.chunk_rows = chunk_rows
+        self.taps_acc = taps_acc          # "f32" | "bf16"
+        self.scatter_add = scatter_add    # "flat9" | "tree2"
+        self.c, self.g, self.cb = c, g, cb
+        self.order, self.nb, self.h0, self.cls = order, nb, h0, cls
+        self.items = {}   # label -> [vpu_ns, mxu_ns, passes]
+
+    def add(self, label, rows, lanes, kind, repeats=1):
+        ns = self.p["ns_per_vrow"][kind] * vrows(rows, lanes) * repeats
+        it = self.items.setdefault(label, [0.0, 0.0, 0])
+        it[0] += ns
+        it[2] += repeats
+
+    def dot(self, label, m, k, n, dtype="bf16"):
+        # MXU tiles are 128x128; pad K and N up
+        kp, np_ = max(k, 128), math.ceil(n / 128) * 128
+        flops = 2.0 * m * kp * np_
+        peak = self.p["mxu_bf16_flops" if dtype == "bf16" else
+                      "mxu_int8_flops"]
+        it = self.items.setdefault(label, [0.0, 0.0, 0])
+        it[1] += flops / peak * 1e9
+        it[2] += 1
+
+    # ---- kernel structure ----
+    def chunk_imgs(self, res):
+        ci = self.bt
+        while ci > 1 and ci * res * res > self.chunk_rows:
+            ci //= 2
+        return ci
+
+    def block(self, res, kin, is_down):
+        """One dense block at resolution ``res`` for the whole batch tile."""
+        g, cb, c = self.g, self.cb, self.c
+        ci = self.chunk_imgs(res)
+        nchunks = self.bt // ci
+        m = ci * res * res
+        x2k = kin + g
+        for _ in range(nchunks):
+            # bottleneck prologue + dot
+            self.add("prologue", m, kin, "affine_relu")
+            self.add("prologue", m, kin, "cast")     # f32 -> bf16 for the dot
+            self.dot("dot1x1", m, kin, cb)
+            # vec2 add+relu on the f32 dot output, cast
+            self.add("vec2", m, cb, "relu")
+            self.add("vec2", m, cb, "cast")
+            # scatter conv: fat dot + epilogue
+            self.dot("conv_dot", m, cb, 9 * g)
+            if self.taps_acc == "f32":
+                self.add("conv_epi", m, 9 * g, "cast")   # t -> bf16
+            self.add("conv_epi", m, 9 * g, "copy")       # pad materialize
+            if self.scatter_add == "tree2":
+                self.add("conv_epi", m, 3 * g, "add", repeats=3)
+                self.add("conv_epi", m, g, "add", repeats=3)
+            else:
+                self.add("conv_epi", m, g, "add", repeats=9)
+            self.add("conv_epi", m, g, "cast")           # out32 -> bf16
+            self.add("bufio", m, g, "copy")              # out32 buffer write
+            # adapters
+            self.add("prologue", m, x2k, "affine_relu")
+            self.add("prologue", m, x2k, "cast")
+            self.dot("dot1x1", m, x2k, c)
+            if is_down:
+                self.add("prologue", m, x2k, "affine_relu")
+                self.add("prologue", m, x2k, "cast")
+                self.dot("dot1x1", m, x2k, c)
+                self.add("bufio", m, c, "copy")          # skip write
+            # fifo rotate/push (order=1 steady: one g-wide copy)
+            self.add("bufio", m, g * self.order, "copy")
+            # pool or upsample
+            if is_down:
+                self.add("pool_ups", m // 2, c, "relu")  # max step 1
+                self.add("pool_ups", m // 4, c, "relu")  # max step 2
+                self.add("bufio", m // 4, c, "copy")
+            else:
+                self.add("pool_ups", 4 * m, c, "copy")   # cat-expand
+                self.add("bufio", 4 * m, c, "copy")
+
+    def slot(self, steady=True):
+        c = self.c
+        h0 = self.h0
+        ci = self.chunk_imgs(h0)
+        m = ci * h0 * h0
+        kin_i = c + self.order * c
+        for _ in range(self.bt // ci):
+            if steady:
+                self.add("prologue", m, kin_i, "affine_relu")
+                self.add("prologue", m, kin_i, "cast")
+                self.dot("dot1x1", m, kin_i, c)
+                self.add("bufio", m, c * self.order, "copy")  # fifo rotate
+        res = h0
+        for j in range(self.nb):
+            self.block(res, c + self.order * self.g, True)
+            res //= 2
+        self.block(res, c + self.order * self.g, False)   # neck (upsamples)
+        for j in range(self.nb - 1):
+            res *= 2
+            self.block(res, 2 * c + self.order * self.g, False)
+        res *= 2
+        # last up block: head rides it
+        self.block(res, 2 * c + self.order * self.g, False)
+        for _ in range(self.bt // ci):
+            self.add("prologue", m, c, "affine_relu")
+            self.add("prologue", m, c, "cast")
+            self.dot("dot1x1", m, c, self.cls)
+            self.add("head_dma", m, self.cls, "copy")     # transpose+stage
+
+    def run(self, K, batch):
+        grid = batch // self.bt
+        for _ in range(K):
+            self.slot()
+        total_passes = sum(v[2] for v in self.items.values())
+        vpu = sum(v[0] for v in self.items.values())
+        mxu = sum(v[1] for v in self.items.values())
+        fixed = total_passes * self.p["fixed_ns_per_pass"]
+        scale = grid / 1e6   # ns -> ms, times grid steps
+        return {
+            "per_item_ms": {k: [round(v[0] * scale, 2),
+                                round(v[1] * scale, 2), v[2] * grid]
+                            for k, v in sorted(self.items.items())},
+            "vpu_ms": round(vpu * scale, 2),
+            "mxu_ms": round(mxu * scale, 2),
+            "fixed_ms": round(fixed * scale, 2),
+            "serial_total_ms": round((vpu + mxu + fixed) * scale, 2),
+            "overlap_total_ms": round(
+                (max(vpu, mxu) + fixed) * scale, 2),
+            "passes_per_batch": total_passes * grid,
+            "measured_constants": self.p.get("measured", False),
+        }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--probe", help="JSON of probe constants")
+    ap.add_argument("--bt", type=int, default=8)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--chunk_rows", type=int,
+                    default=int(os.environ.get("CUNET_TERA_CHUNK_ROWS",
+                                               "4096")))
+    ap.add_argument("--taps_acc", default="f32")
+    ap.add_argument("--scatter_add", default="flat9")
+    args = ap.parse_args()
+
+    probe = dict(PROBE_DEFAULTS)
+    if args.probe:
+        probe.update(json.load(open(args.probe)))
+        probe["measured"] = True
+
+    m = Model(probe, args.bt, args.chunk_rows, args.taps_acc,
+              args.scatter_add)
+    out = m.run(args.k, args.batch)
+    json.dump(out, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -817,51 +817,59 @@ def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
     return d_all[:, :base_width]
 
 
-def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
-    """Backward part A: head + up blocks (traversal pos 2nb .. nb+1).
-
-    Emits d_skips (fp32, consumed by part B), d of the neck output (fp32),
-    up-fifo cotangents, and up-block + head weight grads."""
-    nb = meta["num_blocks"]
-    L = meta["L"]
+def _flat_reader(meta):
     bt = meta["bt"]
-    c = meta["chan"]
-    dtype = meta["dtype"]
-    eps = meta["eps"]
-    plan = meta["plan"]
-
-    it = iter(refs)
-    nxt = lambda: next(it)
 
     def flat(ref):
         v = ref[...]
         return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
 
-    # ---- inputs ----
+    return flat
+
+
+def _read_up_ins(meta, nxt, flat):
+    """Part-A (head + up blocks) input reads, in marshal order."""
+    nb, L = meta["num_blocks"], meta["L"]
     U = list(range(nb + 1, 2 * nb + 1))
     fifo_vals, wsets = {}, {}
     for pos in U:
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, False)
-    bn_h, w_h = nxt()[...], nxt()[...]
-    up_pre = [flat(nxt()) for _ in range(nb)]
-    skips = [flat(nxt()) for _ in range(nb)]
-    out32_vals = {pos: flat(nxt()) for pos in U}
-    stats3 = {pos: {k: nxt()[0] for k in ("s1", "s2", "sa")} for pos in U}
-    head_stat = nxt()[0]
-    d_y_out = flat(nxt())
-    d_head = flat(nxt())
-    d_out32_ext = {pos: flat(nxt()) for pos in U}
+    I = dict(fifo_vals=fifo_vals, wsets=wsets)
+    I["bn_h"], I["w_h"] = nxt()[...], nxt()[...]
+    I["up_pre"] = [flat(nxt()) for _ in range(nb)]
+    I["skips"] = [flat(nxt()) for _ in range(nb)]
+    I["out32_vals"] = {pos: flat(nxt()) for pos in U}
+    I["stats3"] = {pos: {k: nxt()[0] for k in ("s1", "s2", "sa")}
+                   for pos in U}
+    I["head_stat"] = nxt()[0]
+    I["d_y_out"] = flat(nxt())
+    I["d_head"] = flat(nxt())
+    I["d_out32_ext"] = {pos: flat(nxt()) for pos in U}
+    return U, I
 
-    # ---- outputs ----
-    d_y_low_ref = nxt()
-    d_skip_refs = [nxt() for _ in range(nb)]
+
+def _read_up_outs(meta, nxt):
+    """Part-A output refs EXCLUDING d_y_low / d_skips (which the merged
+    single-launch kernel keeps as values)."""
+    nb, L = meta["num_blocks"], meta["L"]
+    U = list(range(nb + 1, 2 * nb + 1))
     d_fifo_refs = {pos: [nxt() for _ in range(L)] for pos in U}
-    dW_refs = {pos: {k: nxt() for k in
-                     ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a")} for pos in U}
+    dW_refs = {pos: {k: nxt() for k in _wset_keys(False)} for pos in U}
     dW_head = (nxt(), nxt())
+    return d_fifo_refs, dW_refs, dW_head
 
-    acc = _mk_acc()
+
+def _run_up(meta, U, I, d_fifo_refs, dW_refs, dW_head, acc):
+    """Head + up-path backward from pre-read inputs. Returns
+    (d_y_low fp32 flat, d_skips list[j -> fp32 flat])."""
+    nb = meta["num_blocks"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    dtype = meta["dtype"]
+    eps = meta["eps"]
+    plan = meta["plan"]
+    up_pre, skips = I["up_pre"], I["skips"]
 
     def block_input(pos):
         idx = pos - (nb + 1)
@@ -869,38 +877,116 @@ def _slot_bwd_up_kernel(meta, *refs):  # noqa: C901
         h = plan[pos]["res"]
         return [_upsample2_cat(up_pre[idx], h // 2, h // 2, bt), skips[j]]
 
-    d_y = d_y_out.astype(jnp.float32)
+    d_y = I["d_y_out"].astype(jnp.float32)
+    d_skips_out = [None] * nb
     for pos in reversed(U):
         idx = pos - (nb + 1)
         j = nb - 1 - idx
         h = plan[pos]["res"]
-        vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
-                               wsets[pos], stats3[pos],
-                               need_ahead=pos == 2 * nb,
-                               out32=out32_vals[pos])
+        vals = _block_fwd_vals(meta, pos, block_input(pos),
+                               I["fifo_vals"][pos], I["wsets"][pos],
+                               I["stats3"][pos], need_ahead=pos == 2 * nb,
+                               out32=I["out32_vals"][pos])
         if pos == 2 * nb:
             # head backward rides the last up block (its input is y_out)
             d_h_in, dW_h, dbn_h = _stage_bwd(
-                vals["ahead"], bn_h, w_h, head_stat[0], head_stat[1],
-                d_head, dtype, eps, bits_i=meta["bits_i"])
+                vals["ahead"], I["bn_h"], I["w_h"], I["head_stat"][0],
+                I["head_stat"][1], I["d_head"], dtype, eps,
+                bits_i=meta["bits_i"])
             acc(dW_head[1], dW_h)
             acc(dW_head[0], dbn_h)
             d_y = d_y + d_h_in
         d_base = _block_bwd_generic(
-            meta, pos, vals, fifo_vals[pos], wsets[pos],
-            stats3[pos], dW_refs[pos], d_fifo_refs[pos],
-            d_out32_ext[pos], d_y, None, acc)
+            meta, pos, vals, I["fifo_vals"][pos], I["wsets"][pos],
+            I["stats3"][pos], dW_refs[pos], d_fifo_refs[pos],
+            I["d_out32_ext"][pos], d_y, None, acc)
         d_up = d_base[:, :c]
-        d_skip_refs[j][...] = d_base[:, c:2 * c].reshape(bt, h, h, c)
+        d_skips_out[j] = d_base[:, c:2 * c]
         d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
+    return d_y, d_skips_out
 
+
+def _slot_bwd_up_kernel(meta, *refs):
+    """Backward part A: head + up blocks (traversal pos 2nb .. nb+1).
+
+    Emits d_skips (fp32, consumed by part B), d of the neck output (fp32),
+    up-fifo cotangents, and up-block + head weight grads."""
+    nb = meta["num_blocks"]
+    bt = meta["bt"]
+    c = meta["chan"]
+    plan = meta["plan"]
+    it = iter(refs)
+    nxt = lambda: next(it)
+    flat = _flat_reader(meta)
+
+    U, I = _read_up_ins(meta, nxt, flat)
+    d_y_low_ref = nxt()
+    d_skip_refs = [nxt() for _ in range(nb)]
+    d_fifo_refs, dW_refs, dW_head = _read_up_outs(meta, nxt)
+    acc = _mk_acc()
+    d_y_low, d_skips = _run_up(meta, U, I, d_fifo_refs, dW_refs, dW_head,
+                               acc)
+    for j in range(nb):
+        h = plan[j]["res"]
+        d_skip_refs[j][...] = d_skips[j].reshape(bt, h, h, c)
     r = plan[nb]["res"]
-    d_y_low_ref[...] = d_y.reshape(bt, r, r, c)
+    d_y_low_ref[...] = d_y_low.reshape(bt, r, r, c)
 
 
-def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
-    """Backward part B: neck + down blocks + intermedia, consuming part A's
-    d_skips and d of the neck output."""
+def _read_down_ins(meta, nxt, flat, with_d=True):
+    """Part-B (neck + down + intermedia) input reads, in marshal order.
+    ``with_d=False`` (merged single-launch mode) skips the d_y_low /
+    d_skips inputs — they arrive as values from _run_up."""
+    nb, L = meta["num_blocks"], meta["L"]
+    has_inter = meta["has_inter"]
+    plan = meta["plan"]
+    D = list(range(nb + 1))
+    I = {}
+    I["y"] = flat(nxt())
+    I["inter_fifo"] = []
+    if has_inter:
+        I["inter_fifo"] = [flat(nxt()) for _ in range(L)]
+        I["bn_i"], I["w_i"] = nxt()[...], nxt()[...]
+    fifo_vals, wsets = {}, {}
+    for pos in D:
+        fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
+        wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
+    I["fifo_vals"], I["wsets"] = fifo_vals, wsets
+    I["pooled"] = [flat(nxt()) for _ in range(nb)]
+    I["out32_vals"] = {pos: flat(nxt()) for pos in D}
+    I["inter_stat"] = nxt()[0] if has_inter else None
+    stats3 = {}
+    for pos in D:
+        keys = ("s1", "s2", "sa") + (("ss",) if plan[pos]["skip"] else ())
+        stats3[pos] = {k: nxt()[0] for k in keys}
+    I["stats3"] = stats3
+    if with_d:
+        I["d_y_low"] = flat(nxt())
+        I["d_skips"] = [flat(nxt()) for _ in range(nb)]
+    I["d_inter_out"] = flat(nxt()) if has_inter else None
+    I["d_out32_ext"] = {pos: flat(nxt()) for pos in D}
+    return D, I
+
+
+def _read_down_outs(meta, nxt):
+    nb, L = meta["num_blocks"], meta["L"]
+    has_inter = meta["has_inter"]
+    plan = meta["plan"]
+    D = list(range(nb + 1))
+    O = {}
+    O["d_y_ref"] = nxt()
+    O["d_inter_fifo_refs"] = [nxt() for _ in range(L)] if has_inter else []
+    O["d_fifo_refs"] = {pos: [nxt() for _ in range(L)] for pos in D}
+    if has_inter:
+        O["dW_inter"] = (nxt(), nxt())
+    O["dW_refs"] = {pos: {k: nxt() for k in _wset_keys(plan[pos]["skip"])}
+                    for pos in D}
+    return O
+
+
+def _run_down(meta, D, I, O, d_y_low, d_skips, acc):
+    """Neck + down path + intermedia backward from pre-read inputs and
+    part A's cotangents (values or ref-loads, both fp32 flat)."""
     nb = meta["num_blocks"]
     L = meta["L"]
     has_inter = meta["has_inter"]
@@ -910,62 +996,19 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
     dtype = meta["dtype"]
     eps = meta["eps"]
     plan = meta["plan"]
-
-    it = iter(refs)
-    nxt = lambda: next(it)
-
-    def flat(ref):
-        v = ref[...]
-        return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
-
-    # ---- inputs ----
-    D = list(range(nb + 1))
-    y = flat(nxt())
-    inter_fifo = []
-    if has_inter:
-        inter_fifo = [flat(nxt()) for _ in range(L)]
-        bn_i, w_i = nxt()[...], nxt()[...]
-    fifo_vals, wsets = {}, {}
-    for pos in D:
-        fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
-        wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
-    pooled = [flat(nxt()) for _ in range(nb)]
-    out32_vals = {pos: flat(nxt()) for pos in D}
-    inter_stat = nxt()[0] if has_inter else None
-    stats3 = {}
-    for pos in D:
-        keys = ("s1", "s2", "sa") + (("ss",) if plan[pos]["skip"] else ())
-        stats3[pos] = {k: nxt()[0] for k in keys}
-    d_y_low = flat(nxt())
-    d_skips = [flat(nxt()) for _ in range(nb)]
-    d_inter_out = flat(nxt()) if has_inter else None
-    d_out32_ext = {pos: flat(nxt()) for pos in D}
-
-    # ---- outputs ----
-    d_y_ref = nxt()
-    d_inter_fifo_refs = [nxt() for _ in range(L)] if has_inter else []
-    d_fifo_refs = {pos: [nxt() for _ in range(L)] for pos in D}
-    dW_refs = {}
-    if has_inter:
-        dW_inter = (nxt(), nxt())
-    for pos in D:
-        keys = ("bn1", "w_b", "bn2", "w3", "bn_a", "w_a") + (
-            ("bn_s", "w_s") if plan[pos]["skip"] else ())
-        dW_refs[pos] = {k: nxt() for k in keys}
-
-    acc = _mk_acc()
+    y = I["y"]
 
     # ---- recompute the intermedia output (input of down block 0) ----
     if has_inter:
-        x_cat_i = jnp.concatenate([y] + inter_fifo, axis=-1)
-        mu_i, var_i = inter_stat[0], inter_stat[1]
-        z_i = _norm_relu(x_cat_i, bn_i, mu_i, var_i, dtype, eps)
-        y2 = _dot(z_i, w_i, dtype).astype(dtype)
+        x_cat_i = jnp.concatenate([y] + I["inter_fifo"], axis=-1)
+        mu_i, var_i = I["inter_stat"][0], I["inter_stat"][1]
+        z_i = _norm_relu(x_cat_i, I["bn_i"], mu_i, var_i, dtype, eps)
+        y2 = _dot(z_i, I["w_i"], dtype).astype(dtype)
     else:
         y2 = y
 
     def block_input(pos):
-        return [y2] if pos == 0 else [pooled[pos - 1]]
+        return [y2] if pos == 0 else [I["pooled"][pos - 1]]
 
     # dev-only compile bisect: stop emitting ops after N segments (outputs
     # beyond that point stay unwritten — WRONG RESULTS, diagnosis only)
@@ -979,13 +1022,14 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
     # --- neck (pos nb) ---
     if _stopped():
         return
-    neck_vals = _block_fwd_vals(meta, nb, block_input(nb), fifo_vals[nb],
-                                wsets[nb], stats3[nb], need_ahead=False,
-                                out32=out32_vals[nb])
+    neck_vals = _block_fwd_vals(meta, nb, block_input(nb),
+                                I["fifo_vals"][nb], I["wsets"][nb],
+                                I["stats3"][nb], need_ahead=False,
+                                out32=I["out32_vals"][nb])
     d_pool = _block_bwd_generic(
-        meta, nb, neck_vals, fifo_vals[nb], wsets[nb], stats3[nb],
-        dW_refs[nb], d_fifo_refs[nb], d_out32_ext[nb],
-        d_y_low.astype(jnp.float32), None, acc)
+        meta, nb, neck_vals, I["fifo_vals"][nb], I["wsets"][nb],
+        I["stats3"][nb], O["dW_refs"][nb], O["d_fifo_refs"][nb],
+        I["d_out32_ext"][nb], d_y_low.astype(jnp.float32), None, acc)
 
     # --- down path (pos nb-1 .. 0) ---
     for pos in range(nb - 1, -1, -1):
@@ -994,36 +1038,71 @@ def _slot_bwd_down_kernel(meta, *refs):  # noqa: C901
         h = plan[pos]["res"]
         # one shared recompute: ahead feeds the pool mask (ahead = pre-pool;
         # pooled[pos] saved), the rest feeds the block backward
-        vals = _block_fwd_vals(meta, pos, block_input(pos), fifo_vals[pos],
-                               wsets[pos], stats3[pos], need_ahead=True,
-                               out32=out32_vals[pos])
-        d_ahead = _pool_bwd(d_pool, vals["ahead"], pooled[pos], h, h, bt)
+        vals = _block_fwd_vals(meta, pos, block_input(pos),
+                               I["fifo_vals"][pos], I["wsets"][pos],
+                               I["stats3"][pos], need_ahead=True,
+                               out32=I["out32_vals"][pos])
+        d_ahead = _pool_bwd(d_pool, vals["ahead"], I["pooled"][pos], h, h,
+                            bt)
         d_pool = _block_bwd_generic(
-            meta, pos, vals, fifo_vals[pos], wsets[pos],
-            stats3[pos], dW_refs[pos], d_fifo_refs[pos], d_out32_ext[pos],
-            d_ahead, d_skips[pos].astype(jnp.float32), acc)
+            meta, pos, vals, I["fifo_vals"][pos], I["wsets"][pos],
+            I["stats3"][pos], O["dW_refs"][pos], O["d_fifo_refs"][pos],
+            I["d_out32_ext"][pos], d_ahead,
+            d_skips[pos].astype(jnp.float32), acc)
         # d_pool now holds d of this block's input
 
     # --- intermedia backward ---
     if _stopped():
         return
     if has_inter:
-        d_y2 = d_pool + d_inter_out.astype(jnp.float32)
+        d_y2 = d_pool + I["d_inter_out"].astype(jnp.float32)
         # y2 = relu(norm(x_cat_i)) @ w_i (cast dtype — cast bwd is identity)
         dW_i = _dot_dw(z_i, d_y2, dtype)
-        d_zi = _dot_dx(d_y2, w_i, dtype)
-        d_xi, dbn_i = _affine_bwd(x_cat_i, bn_i, mu_i, var_i, d_zi,
+        d_zi = _dot_dx(d_y2, I["w_i"], dtype)
+        d_xi, dbn_i = _affine_bwd(x_cat_i, I["bn_i"], mu_i, var_i, d_zi,
                                   dtype, eps, z=z_i)
-        acc(dW_inter[1], dW_i)
-        acc(dW_inter[0], dbn_i)
-        d_y_ref[...] = d_xi[:, :c].astype(dtype).reshape(bt, h0, h0, c)
+        acc(O["dW_inter"][1], dW_i)
+        acc(O["dW_inter"][0], dbn_i)
+        O["d_y_ref"][...] = d_xi[:, :c].astype(dtype).reshape(bt, h0, h0, c)
         off = c
         for li in range(L):
-            d_inter_fifo_refs[li][...] = (
+            O["d_inter_fifo_refs"][li][...] = (
                 d_xi[:, off:off + c].astype(dtype).reshape(bt, h0, h0, c))
             off += c
     else:
-        d_y_ref[...] = d_pool.astype(dtype).reshape(bt, h0, h0, c)
+        O["d_y_ref"][...] = d_pool.astype(dtype).reshape(bt, h0, h0, c)
+
+
+def _slot_bwd_down_kernel(meta, *refs):
+    """Backward part B: neck + down blocks + intermedia, consuming part A's
+    d_skips and d of the neck output."""
+    it = iter(refs)
+    nxt = lambda: next(it)
+    flat = _flat_reader(meta)
+    D, I = _read_down_ins(meta, nxt, flat, with_d=True)
+    O = _read_down_outs(meta, nxt)
+    acc = _mk_acc()
+    _run_down(meta, D, I, O, I["d_y_low"], I["d_skips"], acc)
+
+
+def _slot_bwd_single_kernel(meta, *refs):
+    """MERGED single-launch whole-slot backward (CUNET_TSBWD_SINGLE=1):
+    part A's d_y_low / d_skips stay in-register values instead of making an
+    HBM round trip, and the slot backward costs one kernel launch instead
+    of two. VMEM feasibility depends on the chunked conv transients
+    (_TRAIN_CONV_CHUNK) — compile-probed on-chip before becoming a
+    default."""
+    it = iter(refs)
+    nxt = lambda: next(it)
+    flat = _flat_reader(meta)
+    U, IU = _read_up_ins(meta, nxt, flat)
+    D, ID = _read_down_ins(meta, nxt, flat, with_d=False)
+    d_fifo_refs_u, dW_refs_u, dW_head = _read_up_outs(meta, nxt)
+    OD = _read_down_outs(meta, nxt)
+    acc = _mk_acc()
+    d_y_low, d_skips = _run_up(meta, U, IU, d_fifo_refs_u, dW_refs_u,
+                               dW_head, acc)
+    _run_down(meta, D, ID, OD, d_y_low, d_skips, acc)
 
 
 def _stat_slices(meta):
@@ -1145,10 +1224,18 @@ def slot_train_bwd(
     for pos in U:
         A.add(d_out32s[pos].astype(dtype), xspec)
 
+    # dev-only fault isolation: CUNET_TSBWD_ONLY=up|down runs just one of
+    # the two backward launches (the other's outputs become zeros — WRONG
+    # RESULTS, compile diagnosis only). CUNET_TSBWD_SINGLE=1 merges both
+    # parts into ONE launch (d_y_low / d_skips stay in-register).
+    _only = os.environ.get("CUNET_TSBWD_ONLY", "")
+    single = os.environ.get("CUNET_TSBWD_SINGLE", "0") == "1" and not _only
+
     r_neck = plan[nb]["res"]
-    A.out_tiled(r_neck, c, jnp.float32)          # d_y_low
-    for j in range(nb):
-        A.out_tiled(plan[j]["res"], c, jnp.float32)   # d_skips
+    if not single:
+        A.out_tiled(r_neck, c, jnp.float32)          # d_y_low
+        for j in range(nb):
+            A.out_tiled(plan[j]["res"], c, jnp.float32)   # d_skips
     for pos in U:
         for li in range(L):
             A.out_tiled(plan[pos]["res"], fifos[pos][li].shape[-1])
@@ -1158,11 +1245,10 @@ def slot_train_bwd(
     A.out_acc(W["head"][0].shape)
     A.out_acc(W["head"][1].shape)
 
-    # dev-only fault isolation: CUNET_TSBWD_ONLY=up|down runs just one of
-    # the two backward launches (the other's outputs become zeros — WRONG
-    # RESULTS, compile diagnosis only)
-    _only = os.environ.get("CUNET_TSBWD_ONLY", "")
-    if _only == "down":
+    d_y_low = d_skips = None
+    if single:
+        pass                         # merged call happens after B is built
+    elif _only == "down":
         # plausibly-shaped fakes derived from real tensors — jnp.zeros here
         # would reach the down kernel as XLA *broadcast* operands, whose
         # replicated Mosaic layout itself fails, poisoning the isolation
@@ -1173,12 +1259,14 @@ def slot_train_bwd(
     else:
         outs = list(call(_slot_bwd_up_kernel, A.args, A.specs,
                          A.out_shapes, A.out_specs))
-    d_y_low = outs.pop(0)
-    d_skips = [outs.pop(0) for _ in range(nb)]
-    d_fifos_up = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in U}
-    dW_up = {pos: {k: outs.pop(0) for k in _wset_keys(False)} for pos in U}
-    dW_head = (outs.pop(0), outs.pop(0))
-    assert not outs
+    if not single:
+        d_y_low = outs.pop(0)
+        d_skips = [outs.pop(0) for _ in range(nb)]
+        d_fifos_up = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in U}
+        dW_up = {pos: {k: outs.pop(0) for k in _wset_keys(False)}
+                 for pos in U}
+        dW_head = (outs.pop(0), outs.pop(0))
+        assert not outs
 
     # ======== part B: neck + down blocks + intermedia ========
     D = list(range(nb + 1))
@@ -1203,9 +1291,10 @@ def slot_train_bwd(
         for k in (("s1", "s2", "sa") + (("ss",) if plan[pos]["skip"]
                                         else ())):
             B.add(saved["stats"][per_pos_stat[pos][k]], statspec)
-    B.add(d_y_low, xspec)
-    for d in d_skips:
-        B.add(d, xspec)
+    if not single:
+        B.add(d_y_low, xspec)
+        for d in d_skips:
+            B.add(d, xspec)
     if has_inter:
         B.add(d_inter_out.astype(dtype), xspec)
     for pos in D:
@@ -1225,7 +1314,16 @@ def slot_train_bwd(
         for k in _wset_keys(plan[pos]["skip"]):
             B.out_acc(W["blocks"][pos][k].shape)
 
-    if _only == "up":
+    if single:
+        outs = list(call(_slot_bwd_single_kernel,
+                         A.args + B.args, A.specs + B.specs,
+                         A.out_shapes + B.out_shapes,
+                         A.out_specs + B.out_specs))
+        d_fifos_up = {pos: tuple(outs.pop(0) for _ in range(L)) for pos in U}
+        dW_up = {pos: {k: outs.pop(0) for k in _wset_keys(False)}
+                 for pos in U}
+        dW_head = (outs.pop(0), outs.pop(0))
+    elif _only == "up":
         outs = [jnp.zeros(s.shape, s.dtype) for s in B.out_shapes]
     else:
         outs = list(call(_slot_bwd_down_kernel, B.args, B.specs,

@@ -63,4 +63,7 @@ JAX_COMPILATION_CACHE_DIR=/tmp/axcache run tr_unroll_cold 2700 \
   python -c "import bench; bench.bench_train(use_scan=False)"
 JAX_COMPILATION_CACHE_DIR=/tmp/axcache run tr_unroll_warm 2700 \
   python -c "import bench; bench.bench_train(use_scan=False)"
+# 12. single-launch whole-slot backward (one launch instead of two per
+#    slot; VMEM compile probe + timing)
+CUNET_TSBWD_SINGLE=1 run tr_single 1500 python bench.py --train
 echo "sweep complete: $OUT"

@@ -168,10 +168,13 @@ def main():
         for kind in ["affine_vec", "relu", "add_slice32"]:
             probe(kind)
     if "overlap" in sel:
-        overlap_probe(0, 0)    # skeleton
+        # legs sized to take comparable time (bf16 512^3 dot ~= 0.27 GFLOP;
+        # one vpu chain step = 1M f32 FMAs on the independent buffer), so
+        # t(both) ~ max(t_mxu, t_vpu) vs ~ sum is unambiguous
+        overlap_probe(0, 0)    # skeleton (launch + HBM streams)
         overlap_probe(12, 0)   # MXU only
-        overlap_probe(0, 24)   # VPU only
-        overlap_probe(12, 24)  # both: max => overlap, sum => serial
+        overlap_probe(0, 56)   # VPU only
+        overlap_probe(12, 56)  # both: max => overlap, sum => serial
 
 
 if __name__ == "__main__":

@@ -74,8 +74,9 @@ class Model:
         it[2] += repeats
 
     def dot(self, label, m, k, n, dtype="bf16"):
-        # MXU tiles are 128x128; pad K and N up
-        kp, np_ = max(k, 128), math.ceil(n / 128) * 128
+        # MXU tiles are 128x128; K and N round up to whole tiles
+        kp = math.ceil(k / 128) * 128
+        np_ = math.ceil(n / 128) * 128
         flops = 2.0 * m * kp * np_
         peak = self.p["mxu_bf16_flops" if dtype == "bf16" else
                       "mxu_int8_flops"]

@@ -66,4 +66,7 @@ JAX_COMPILATION_CACHE_DIR=/tmp/axcache run tr_unroll_warm 2700 \
 # 12. single-launch whole-slot backward (one launch instead of two per
 #    slot; VMEM compile probe + timing)
 CUNET_TSBWD_SINGLE=1 run tr_single 1500 python bench.py --train
+# 13. on-chip fused-vs-lax grad parity (advisor r2: pool-bwd recompute
+#    divergence is only observable on real hardware)
+run parity 1200 python tools/tpu_smoke.py --parity
 echo "sweep complete: $OUT"

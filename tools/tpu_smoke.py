@@ -107,10 +107,55 @@ def smoke_eval_k16_tera() -> float:
     return ips
 
 
+def smoke_grad_parity() -> None:
+    """ON-CHIP fused-vs-lax grad parity (``--parity``; advisor r2: the CPU
+    interpret-mode parity tests cannot catch an on-chip rounding divergence
+    in e.g. the pool backward's max recompute). Smallest Mosaic-compilable
+    config (c=128 width gate), one grad step through both paths."""
+    from cunet_tpu.config import ModelConfig
+    from cunet_tpu.models import apply_cu_net, init_cu_net
+    from cunet_tpu.train.loss import intermediate_mse
+
+    common = dict(layer_num=2, order=1, class_num=16, loss_num=2,
+                  compute_dtype="bfloat16", remat="none",
+                  bn_dtype="compute", bn_tile=2)
+    cfg_p = ModelConfig(use_pallas=True, **common)
+    cfg_l = ModelConfig(use_pallas=False, **common)
+    bs = 4
+    params, bn = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(bs, 256, 256, 3), jnp.bfloat16)
+    t = jnp.asarray(rng.rand(bs, 64, 64, 16), jnp.float32)
+
+    def grads(cfg):
+        def loss(p):
+            outs, _ = apply_cu_net(p, bn, x, cfg=cfg, train=True)
+            return intermediate_mse(outs, t)
+
+        return jax.jit(jax.grad(loss))(params)
+
+    g_p, g_l = grads(cfg_p), grads(cfg_l)
+    lp, tp_ = jax.tree_util.tree_flatten(g_p)
+    ll, tl = jax.tree_util.tree_flatten(g_l)
+    assert tp_ == tl
+    worst = 0.0
+    for a, b in zip(lp, ll):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.maximum(np.abs(b), 1e-3)
+        worst = max(worst, float(np.max(np.abs(a - b) / denom)))
+    print(f"on-chip grad parity fused-vs-lax: worst rel err {worst:.4f}")
+    assert worst < 5e-2, f"on-chip fused/lax grad divergence: {worst}"
+
+
 def main() -> int:
     if jax.default_backend() not in ("tpu", "axon") and \
             "tpu" not in jax.devices()[0].device_kind.lower():
         print(f"SKIP: needs a TPU backend (got {jax.default_backend()})")
+        return 0
+    if "--parity" in sys.argv:
+        smoke_grad_parity()
+        print("TPU_SMOKE_PARITY_PASS")
         return 0
     smoke_train_k8()
     smoke_eval_k16_tera()

@@ -39,6 +39,10 @@ CUNET_TAPS_ACC=bf16  run taps_bf16 420 python tools/ablate_infer.py none
 CUNET_SCATTER_ADD=tree2 run tree2  420 python tools/ablate_infer.py none
 CUNET_SCATTER_ADD=tree2 CUNET_TAPS_ACC=bf16 \
   run tree2_bf16 420 python tools/ablate_infer.py none
+# pool/upsample lowering recheck at the bt8+chunked kernel (r2 choices were
+# measured at bt2)
+CUNET_UPS_MODE=broadcast run ups_bcast 420 python tools/ablate_infer.py none
+CUNET_POOL_MODE=max6d    run pool_6d   420 python tools/ablate_infer.py none
 # 6. stage ablation decomposition at the current default tile
 for a in none bottleneck adapters conv scatteradd vec2 fifo pools affine headdma; do
   run "ab_$a" 420 python tools/ablate_infer.py "$a"

@@ -150,11 +150,9 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
         use_pallas=True,
         pallas_whole_model=True,  # single-launch forward (tera-kernel)
     )
-    batch = 256
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
     import os
-    quant = None
     bt_env_set = False
     if int8 and "CUNET_TERA_BATCH_TILE" not in os.environ:
         # the int8 tera-kernel carries packed weights + per-channel scales
@@ -162,6 +160,18 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
         # (1703 img/s vs 1658 at bt1); bt=8 compiles too slowly to bench
         os.environ["CUNET_TERA_BATCH_TILE"] = "2"
         bt_env_set = True
+    try:
+        return _main_body(cfg, metric_tag, int8, params, state)
+    finally:
+        if bt_env_set:
+            # always remove, even on failure, so a raised int8 run cannot
+            # leak the tile override into the subsequent headline run
+            os.environ.pop("CUNET_TERA_BATCH_TILE", None)
+
+
+def _main_body(cfg, metric_tag, int8, params, state):
+    batch = 256
+    quant = None
     if int8:
         # the quantized flagship on the int8 MXU (real low-bit inference —
         # the reference only simulates it, ref:utils/quantize.py:127-149)
@@ -200,27 +210,25 @@ def main(layer_num: int = 8, metric_tag: str = "cu_net8", int8: bool = False):
         times.append((time.perf_counter() - t0) / n_iters)
         assert np.isfinite(s_last)
 
-    if bt_env_set:
-        del os.environ["CUNET_TERA_BATCH_TILE"]  # don't leak into later runs
     dt = statistics.median(times)
     imgs_per_sec = batch / dt
     achieved = flops_per_batch / dt
     roofline_frac = achieved / device_peak_flops()
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{metric_tag}_256_inference_images_per_sec_per_chip",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(roofline_frac, 4),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": f"{metric_tag}_256_inference_images_per_sec_per_chip",
+            "value": round(imgs_per_sec, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(roofline_frac, 4),
+        }
     )
+    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":
+    import os
     import sys
     import traceback
 
@@ -233,21 +241,29 @@ if __name__ == "__main__":
     elif "--int8" in sys.argv:  # quantized flagship, real int8 MXU execution
         main(metric_tag="cu_net8_int8", int8=True)
     else:
-        # Default (driver) mode: the full scoreboard. The driver parses the
-        # LAST line, so the headline bf16 inference metric prints last;
-        # training, the K=16 human flagship, and int8 serving print before
-        # it (all land in the recorded tail). Auxiliary metrics are guarded
-        # so a failure there cannot take down the headline.
+        # Default (driver) mode. The headline bf16 inference metric runs
+        # FIRST so a parseable JSON line exists within minutes, then the
+        # auxiliary scoreboard runs under an explicit wall-clock budget
+        # (each aux metric only starts if there is budget left — one hang
+        # cannot erase the headline), and finally the headline line is
+        # RE-PRINTED last because the driver parses the last line.
+        headline = main()
+        budget_s = float(os.environ.get("CUNET_BENCH_BUDGET_S", "900"))
+        t_start = time.perf_counter()
         for label, fn in (
             ("train", bench_train),
             ("quant_train", lambda: bench_train(quant=True)),
-            ("k16_train", lambda: bench_train(layer_num=16, bs=12)),
             ("k16", lambda: main(layer_num=16, metric_tag="cu_net16")),
+            ("k16_train", lambda: bench_train(layer_num=16, bs=12)),
             ("int8", lambda: main(metric_tag="cu_net8_int8", int8=True)),
         ):
+            if time.perf_counter() - t_start > budget_s:
+                print(f"bench[{label}] skipped: aux budget exhausted "
+                      f"({budget_s:.0f}s)", file=sys.stderr)
+                continue
             try:
                 fn()
             except Exception:
                 print(f"bench[{label}] failed:", file=sys.stderr)
                 traceback.print_exc()
-        main()
+        print(headline, flush=True)

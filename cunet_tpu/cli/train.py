@@ -265,12 +265,6 @@ def run_training(opt, exp_dir: str) -> dict:
             "Mosaic-compile on TPU (tiny debug widths hit unsupported "
             "shape casts); using the lax path"
         )
-    if use_pallas and cfg.bn_tile > 0 and cfg.drop_rate > 0:
-        log.print_log(
-            "=> note: --drop_rate > 0 routes training to the lax path "
-            "(the fused Pallas train kernels do not implement dropout)"
-        )
-
     ckpt = Checkpoint(exp_dir)
     history = TrainHistory("min" if task == "face" else "max",
                            "val_rmse" if task == "face" else "val_pckh")

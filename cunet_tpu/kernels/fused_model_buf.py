@@ -99,6 +99,10 @@ def chunk_plan(bt: int, h0: int, num_blocks: int, rows_target: int = 0):
         ci = bt
         while ci > 1 and ci * res * res > rows_target:
             ci //= 2
+        if bt % ci:
+            raise ValueError(
+                f"stage chunk {ci} does not divide batch tile {bt} at "
+                f"res {res}; use a power-of-two CUNET_TERA_BATCH_TILE")
         plan[res] = ci
         res //= 2
     return plan

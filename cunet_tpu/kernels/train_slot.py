@@ -90,8 +90,12 @@ def _read_wset(nxt, skip):
     return w
 
 
-def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0) -> Dict:
-    """Static kernel metadata for slot ``slot_i`` (None = steady state)."""
+def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0,
+              drop: bool = False) -> Dict:
+    """Static kernel metadata for slot ``slot_i`` (None = steady state).
+    ``drop`` = precomputed dropout masks are threaded as extra per-position
+    kernel inputs (the reference trains with optional dense-layer dropout
+    while keeping its memory-efficient runtime, ref:models/cu_net.py:63-64)."""
     L = cfg.order if slot_i is None else min(slot_i, cfg.order)
     has_inter = slot_i is None or slot_i > 0
     return dict(
@@ -105,6 +109,7 @@ def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0) -> Dict:
         dtype=jnp.dtype(cfg.compute_dtype),
         eps=BN_EPS,
         bits_i=bits_i,
+        drop=drop,
     )
 
 
@@ -247,7 +252,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         y = stage(x_cat, bn_i, w_i).astype(dtype)
         inter_out_val = y
 
-    def block(x_parts, fifo_vals, wset, h, w):
+    def block(x_parts, fifo_vals, wset, h, w, mask=None):
         x_cat = _cat_canon(list(x_parts) + list(fifo_vals))
         yb = stage(x_cat, wset["bn1"], wset["w_b"]).astype(dtype)
         mu2, var2 = _stats(yb)
@@ -257,6 +262,10 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         # and the 3x3 conv (ref:models/cu_net_prev_version_wig.py:96-100)
         z2 = _quan(z2, meta["bits_i"])
         out32 = _conv3x3_t(z2, wset["w3"], bt, h, w).astype(dtype)
+        if mask is not None:
+            # dense-layer dropout: precomputed scaled mask {0, 1/keep}
+            # applied to the 3x3 conv output (ref:models/cu_net.py:63-64)
+            out32 = out32 * mask
         x2 = jnp.concatenate([x_cat, out32], axis=-1)
         ahead = stage(x2, wset["bn_a"], wset["w_a"]).astype(dtype)
         skip = None
@@ -269,11 +278,13 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
     skips: List = []
     pooled_vals: List = []   # inputs of down 1..nb-1 and the neck
     up_pre_vals: List = []   # inputs of up blocks, pre-upsample
+    drop = meta.get("drop", False)
+    rd_mask = lambda: flat(nxt()) if drop else None
     h = w = h0
     for j in range(nb):
         fifo = [flat(nxt()) for _ in range(L)]
         wset = _read_wset(nxt, True)
-        ahead, skip, o32 = block([y], fifo, wset, h, w)
+        ahead, skip, o32 = block([y], fifo, wset, h, w, rd_mask())
         out32_vals.append((o32, h))
         skips.append((skip, h))
         y = _maxpool2(ahead, h, w, bt)
@@ -281,7 +292,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         pooled_vals.append((y, h))
     fifo = [flat(nxt()) for _ in range(L)]
     wset = _read_wset(nxt, False)
-    ahead, _, o32 = block([y], fifo, wset, h, w)
+    ahead, _, o32 = block([y], fifo, wset, h, w, rd_mask())
     out32_vals.append((o32, h))
     y = ahead
     for idx, j in enumerate(reversed(range(nb))):
@@ -290,7 +301,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         h, w = h * 2, w * 2
         fifo = [flat(nxt()) for _ in range(L)]
         wset = _read_wset(nxt, False)
-        ahead, _, o32 = block([up, skips[j][0]], fifo, wset, h, w)
+        ahead, _, o32 = block([up, skips[j][0]], fifo, wset, h, w, rd_mask())
         out32_vals.append((o32, h))
         y = ahead
 
@@ -324,8 +335,9 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         nxt()[0] = sw                          # (1, 2, C) tile block
 
 
-def _marshal_inputs(meta, y, inter_fifo, fifos, W):
-    """Argument list + in_specs shared by the fwd and bwd pallas calls."""
+def _marshal_inputs(meta, y, inter_fifo, fifos, W, masks=None):
+    """Argument list + in_specs shared by the fwd and bwd pallas calls.
+    ``masks`` = per-position scaled dropout masks (meta["drop"])."""
     nb = meta["num_blocks"]
     L = meta["L"]
     has_inter = meta["has_inter"]
@@ -363,6 +375,8 @@ def _marshal_inputs(meta, y, inter_fifo, fifos, W):
         ):
             a = wset[k]
             add(a.astype(jnp.float32 if k.startswith("bn") else dtype), full)
+        if meta.get("drop"):
+            add(masks[pos].astype(dtype), xspec)
     bn, wgt = W["head"]
     add(bn.astype(jnp.float32), full)
     add(wgt.astype(dtype), full)
@@ -394,6 +408,7 @@ def slot_train_fwd(
     *,
     meta: Dict,
     interpret: bool = False,
+    masks=None,
 ):
     """One-launch train forward for a slot.
 
@@ -411,7 +426,7 @@ def slot_train_fwd(
     T = n // bt
     cls = W["head"][1].shape[-1]
 
-    args, specs = _marshal_inputs(meta, y, inter_fifo, fifos, W)
+    args, specs = _marshal_inputs(meta, y, inter_fifo, fifos, W, masks)
 
     out_shapes: List = []
     out_specs: List = []
@@ -549,8 +564,8 @@ _CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "catc")
 # (PARITY.md round-2 record). Chunking the conv over image groups bounds
 # the transient without touching BN semantics (stats are computed on the
 # full tile; the 3x3 conv is per-image). Read at trace time so tests can
-# monkeypatch it; the value is NOT part of the kernel cache key, so override
-# it only alongside a config change (tests use a distinct bn_tile).
+# monkeypatch it; its value is part of _make_slot_fn's cache key, so an
+# override can never hit a stale traced kernel.
 _TRAIN_CONV_CHUNK = int(os.environ.get("CUNET_TRAIN_CONV_CHUNK", "8192"))
 
 
@@ -560,6 +575,11 @@ def _conv_chunk_imgs(bt: int, h: int, w: int) -> int:
     ci = bt
     while ci > 1 and ci * h * w > _TRAIN_CONV_CHUNK:
         ci //= 2
+    if bt % ci:
+        raise ValueError(
+            f"conv chunk {ci} does not divide batch tile {bt}; use a "
+            "power-of-two bn_tile (the halving chain only yields divisors "
+            "for those)")
     return ci
 
 
@@ -757,7 +777,8 @@ def _block_fwd_vals(meta, pos, x_parts, fifo, wset, stats3, need_ahead,
 
 
 def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
-                       d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc):
+                       d_fifo_refs_p, d_out32_e, d_ahead, d_skip, acc,
+                       mask=None):
     """Backprop block ``pos`` from its precomputed forward values (see
     _block_fwd_vals). stats3 = dict of (2,C) stat values keyed
     s1/s2/sa[/ss]. Writes weight grads + fifo-entry cotangents; returns d
@@ -787,6 +808,10 @@ def _block_bwd_generic(meta, pos, vals, fifo, wset, stats3, dW_refs_b,
     k1 = p["k1"]
     d_x_cat = d_x2[:, :k1]
     d_out32 = d_x2[:, k1:] + d_out32_e.astype(jnp.float32)
+    if mask is not None:
+        # dropout backward: the saved out32 is POST-dropout (downstream
+        # consumers see it), so the conv's cotangent is d_out32 * mask
+        d_out32 = d_out32 * mask.astype(jnp.float32)
     # 3x3 conv backward (dW against the quantized activations the forward
     # consumed), then the QuanInput STE gate on the activation cotangent
     d_z2, dW3 = _conv3x3_bwd_t(vals["z2q"], wset["w3"], d_out32, bt, h, h,
@@ -831,11 +856,12 @@ def _read_up_ins(meta, nxt, flat):
     """Part-A (head + up blocks) input reads, in marshal order."""
     nb, L = meta["num_blocks"], meta["L"]
     U = list(range(nb + 1, 2 * nb + 1))
-    fifo_vals, wsets = {}, {}
+    fifo_vals, wsets, masks = {}, {}, {}
     for pos in U:
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, False)
-    I = dict(fifo_vals=fifo_vals, wsets=wsets)
+        masks[pos] = flat(nxt()) if meta.get("drop") else None
+    I = dict(fifo_vals=fifo_vals, wsets=wsets, masks=masks)
     I["bn_h"], I["w_h"] = nxt()[...], nxt()[...]
     I["up_pre"] = [flat(nxt()) for _ in range(nb)]
     I["skips"] = [flat(nxt()) for _ in range(nb)]
@@ -899,7 +925,7 @@ def _run_up(meta, U, I, d_fifo_refs, dW_refs, dW_head, acc):
         d_base = _block_bwd_generic(
             meta, pos, vals, I["fifo_vals"][pos], I["wsets"][pos],
             I["stats3"][pos], dW_refs[pos], d_fifo_refs[pos],
-            I["d_out32_ext"][pos], d_y, None, acc)
+            I["d_out32_ext"][pos], d_y, None, acc, mask=I["masks"][pos])
         d_up = d_base[:, :c]
         d_skips_out[j] = d_base[:, c:2 * c]
         d_y = _upsample_bwd(d_up, h // 2, h // 2, bt, c)
@@ -947,11 +973,12 @@ def _read_down_ins(meta, nxt, flat, with_d=True):
     if has_inter:
         I["inter_fifo"] = [flat(nxt()) for _ in range(L)]
         I["bn_i"], I["w_i"] = nxt()[...], nxt()[...]
-    fifo_vals, wsets = {}, {}
+    fifo_vals, wsets, masks = {}, {}, {}
     for pos in D:
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
-    I["fifo_vals"], I["wsets"] = fifo_vals, wsets
+        masks[pos] = flat(nxt()) if meta.get("drop") else None
+    I["fifo_vals"], I["wsets"], I["masks"] = fifo_vals, wsets, masks
     I["pooled"] = [flat(nxt()) for _ in range(nb)]
     I["out32_vals"] = {pos: flat(nxt()) for pos in D}
     I["inter_stat"] = nxt()[0] if has_inter else None
@@ -1029,7 +1056,8 @@ def _run_down(meta, D, I, O, d_y_low, d_skips, acc):
     d_pool = _block_bwd_generic(
         meta, nb, neck_vals, I["fifo_vals"][nb], I["wsets"][nb],
         I["stats3"][nb], O["dW_refs"][nb], O["d_fifo_refs"][nb],
-        I["d_out32_ext"][nb], d_y_low.astype(jnp.float32), None, acc)
+        I["d_out32_ext"][nb], d_y_low.astype(jnp.float32), None, acc,
+        mask=I["masks"][nb])
 
     # --- down path (pos nb-1 .. 0) ---
     for pos in range(nb - 1, -1, -1):
@@ -1048,7 +1076,7 @@ def _run_down(meta, D, I, O, d_y_low, d_skips, acc):
             meta, pos, vals, I["fifo_vals"][pos], I["wsets"][pos],
             I["stats3"][pos], O["dW_refs"][pos], O["d_fifo_refs"][pos],
             I["d_out32_ext"][pos], d_ahead,
-            d_skips[pos].astype(jnp.float32), acc)
+            d_skips[pos].astype(jnp.float32), acc, mask=I["masks"][pos])
         # d_pool now holds d of this block's input
 
     # --- intermedia backward ---
@@ -1127,6 +1155,7 @@ def _wset_keys(skip: bool):
 
 def slot_train_bwd(
     y, inter_fifo, fifos, W, saved, cts, *, meta: Dict, interpret: bool = False,
+    masks=None,
 ):
     """Two-launch train backward (part A: head + up path, part B: neck +
     down path + intermedia; one whole-slot kernel exceeds v5e VMEM).
@@ -1188,6 +1217,8 @@ def slot_train_bwd(
                 a = W["blocks"][pos][k]
                 self.add(a.astype(jnp.float32 if k.startswith("bn")
                                   else dtype), full)
+            if meta.get("drop"):
+                self.add(masks[pos].astype(dtype), xspec)
 
         def out_tiled(self, hh, ch, dt=None):
             self.out_shapes.append(
@@ -1356,18 +1387,22 @@ def slot_train_bwd(
 
 @functools.lru_cache(maxsize=None)
 def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
-                  bits_i=0):
+                  bits_i=0, conv_chunk=None, drop=False):
+    # conv_chunk is the _TRAIN_CONV_CHUNK budget at call time; it is read by
+    # the kernel body at trace time via the module global, and it is part of
+    # this cache key purely so an env/monkeypatch override can never reuse a
+    # kernel traced under a different budget.
     meta = finalize_meta(
         dict(num_blocks=nb, L=L, has_inter=has_inter, bt=bt, chan=c,
              growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS,
-             bits_i=bits_i),
+             bits_i=bits_i, drop=drop),
         h0,
     )
 
-    def run_fwd(y, inter_fifo, fifos, W):
+    def run_fwd(y, inter_fifo, fifos, W, masks):
         y_out, head, inter_out, out32s, saved = slot_train_fwd(
             y, list(inter_fifo), [list(f) for f in fifos], W,
-            meta=meta, interpret=interpret,
+            meta=meta, interpret=interpret, masks=list(masks) or None,
         )
         # the backward reuses the per-position conv outputs instead of
         # recomputing the 3x3 conv forward
@@ -1380,16 +1415,16 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
         return outs, saved
 
     @jax.custom_vjp
-    def f(y, inter_fifo, fifos, W):
-        outs, _ = run_fwd(y, inter_fifo, fifos, W)
+    def f(y, inter_fifo, fifos, W, masks):
+        outs, _ = run_fwd(y, inter_fifo, fifos, W, masks)
         return outs
 
-    def fwd(y, inter_fifo, fifos, W):
-        outs, saved = run_fwd(y, inter_fifo, fifos, W)
-        return outs, (y, inter_fifo, fifos, W, saved)
+    def fwd(y, inter_fifo, fifos, W, masks):
+        outs, saved = run_fwd(y, inter_fifo, fifos, W, masks)
+        return outs, (y, inter_fifo, fifos, W, masks, saved)
 
     def bwd(res, cts):
-        y, inter_fifo, fifos, W, saved = res
+        y, inter_fifo, fifos, W, masks, saved = res
         if has_inter:
             d_y_out, d_head, d_inter_out, d_out32s, _unused = cts
         else:
@@ -1398,16 +1433,18 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
         d_y, d_if, d_f, dW = slot_train_bwd(
             y, list(inter_fifo), [list(f) for f in fifos], W, saved,
             (d_y_out, d_head, d_inter_out, list(d_out32s)),
-            meta=meta, interpret=interpret,
+            meta=meta, interpret=interpret, masks=list(masks) or None,
         )
-        return d_y.astype(y.dtype), d_if, d_f, dW
+        # masks are constants of the step (zero cotangent)
+        d_masks = tuple(jnp.zeros_like(m) for m in masks)
+        return d_y.astype(y.dtype), d_if, d_f, dW, d_masks
 
     f.defvjp(fwd, bwd)
     return f
 
 
 def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
-                     interpret=False, bits_i=0):
+                     interpret=False, bits_i=0, masks=None):
     """Whole-slot fused train forward with custom-VJP backward.
 
     Returns (y_out, head, inter_out|None, out32s tuple, stats tuple) where
@@ -1418,6 +1455,9 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
     happens OUTSIDE via ``quant.transforms.quantize_params`` (the kernels
     receive the already-fake-quantized weights and their custom VJP feeds
     the XNOR/STE weight backward automatically).
+    ``masks`` = per-position precomputed scaled dropout masks (dense-layer
+    dropout, ref:models/cu_net.py:63-64): (n, res, res, growth) arrays with
+    values {0, 1/keep}, applied to each 3x3 conv output inside the kernels.
     """
     h0 = y.shape[1]
     if not interpret and jax.default_backend() == "cpu":
@@ -1425,9 +1465,10 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
     fn = _make_slot_fn(
         cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
         cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),
-        interpret, int(bits_i),
+        interpret, int(bits_i), _TRAIN_CONV_CHUNK, masks is not None,
     )
-    outs = fn(y, tuple(inter_fifo), tuple(tuple(f) for f in fifos), W)
+    outs = fn(y, tuple(inter_fifo), tuple(tuple(f) for f in fifos), W,
+              tuple(masks) if masks is not None else ())
     if has_inter:
         y_out, head, inter_out, out32s, stats = outs
     else:

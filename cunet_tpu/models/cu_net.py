@@ -254,10 +254,22 @@ def _mosaic_ok(cfg) -> bool:
 def fused_train_ok(cfg) -> bool:
     """Whether training dispatches to the fused whole-slot Pallas train
     kernels. Mirrored by ``train.step.make_sharded_train_step`` so configs
-    that fall back to the lax path (small widths, dropout) keep the GSPMD
-    step instead of the shard_map construction (which forbids spatial
-    meshes and threads no dropout rng)."""
-    return (cfg.use_pallas and cfg.bn_tile > 0 and cfg.drop_rate == 0
+    that fall back to the lax path (small widths) keep the GSPMD step
+    instead of the shard_map construction (which forbids spatial meshes).
+    Dropout runs THROUGH the kernels: precomputed scaled masks are threaded
+    as extra kernel inputs (the reference's dense-layer dropout keeps its
+    memory-efficient runtime too, ref:models/cu_net.py:63-64)."""
+    return cfg.use_pallas and cfg.bn_tile > 0 and _mosaic_ok(cfg)
+
+
+def fused_eval_ok(cfg) -> bool:
+    """Whether an UNQUANTIZED eval forward dispatches to the fused Pallas
+    eval kernels (whole-model tera-kernel or per-hourglass). Mirrored by
+    ``train.step.make_sharded_eval_step`` so configs whose eval actually
+    takes the lax path keep the GSPMD jit (which supports spatial meshes)
+    instead of the data-only shard_map construction."""
+    return (cfg.use_pallas
+            and (cfg.pallas_whole_model or cfg.pallas_hourglass)
             and _mosaic_ok(cfg))
 
 
@@ -334,10 +346,18 @@ def _apply_dense_layer(
         y, new_state = inner(params, state, list(feats))
     if cfg.drop_rate > 0 and train:
         assert rng is not None, "drop_rate > 0 requires an rng"
-        keep = 1.0 - cfg.drop_rate
-        mask = jax.random.bernoulli(rng, keep, y.shape)
-        y = jnp.where(mask, y / keep, 0).astype(y.dtype)
+        y = y * _dropout_mask(rng, y.shape, cfg.drop_rate, y.dtype)
     return y, new_state
+
+
+def _dropout_mask(rng, shape, rate, dtype):
+    """Scaled dropout mask with values {0, 1/keep} in the compute dtype
+    (torch F.dropout multiply semantics, ref:models/cu_net.py:63-64). The
+    SAME helper feeds the lax path and the fused train kernels' mask inputs,
+    so fused-vs-lax grad parity holds bit-for-bit under dropout."""
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(rng, keep, shape)
+    return (m.astype(jnp.float32) * (1.0 / keep)).astype(dtype)
 
 
 
@@ -1010,10 +1030,14 @@ def _slot_state_from_stats(s, stats, cfg, h0, has_inter):
     return new
 
 
-def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0):
+def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0, rng=None):
     """One fused train slot: forward kernel + custom-VJP backward kernel
     (cunet_tpu.kernels.train_slot). ``slot_i=None`` = steady state.
     ``bits_i`` > 0 = WIG activation quantizers inside the kernels.
+    ``rng`` = this slot's dropout key (required when cfg.drop_rate > 0):
+    masks are drawn OUTSIDE the kernel with the exact fold_in chain the lax
+    path uses (down j -> fold(r, j), neck -> fold(r, 100), up j ->
+    fold(r, 200 + j)), so fused and lax dropout are bit-identical.
 
     Returns (y_out, new_fifos, head_out, new_slot_state)."""
     from cunet_tpu.kernels.train_slot import fused_slot_train, marshal_slot
@@ -1026,6 +1050,24 @@ def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0):
     assert y.shape[0] % cfg.bn_tile == 0, (
         f"batch {y.shape[0]} not divisible by bn_tile {cfg.bn_tile}")
 
+    masks = None
+    if cfg.drop_rate > 0:
+        assert rng is not None, "drop_rate > 0 requires an rng"
+        n, h0 = y.shape[0], y.shape[1]
+        g = cfg.growth_rate
+
+        def mk(key, res):
+            return _dropout_mask(key, (n, res, res, g), cfg.drop_rate,
+                                 jnp.dtype(cfg.compute_dtype))
+
+        res_of = [h0 // (2 ** j) for j in range(nb + 1)]
+        masks = [mk(jax.random.fold_in(rng, j), res_of[j])
+                 for j in range(nb)]
+        masks.append(mk(jax.random.fold_in(rng, 100), res_of[nb]))
+        for idx, j in enumerate(reversed(range(nb))):
+            masks.append(mk(jax.random.fold_in(rng, 200 + j),
+                            res_of[nb - 1 - idx]))
+
     W = marshal_slot(p, nb)
     if not has_inter:
         W.pop("inter", None)
@@ -1036,7 +1078,7 @@ def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0):
     )
     y_out, hm, inter_out, out32s, stats = fused_slot_train(
         y, list(f["intermedia"]) if has_inter else [], fifos_t, W,
-        cfg=cfg, L=L, has_inter=has_inter, bits_i=bits_i,
+        cfg=cfg, L=L, has_inter=has_inter, bits_i=bits_i, masks=masks,
     )
 
     new_ss = _slot_state_from_stats(s, list(stats), cfg, y.shape[1], has_inter)
@@ -1137,11 +1179,11 @@ def _apply_slots_scanned(
         r = rk if rng is not None else None
 
         if train and fused_train_ok(cfg):
-            # (drop_rate > 0 must use the lax path — the fused kernels
-            # do not implement dropout)
-            # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd)
+            # whole-slot fused TRAIN kernels (fwd + custom-VJP bwd);
+            # dropout masks are drawn from this slot's key r
             y, new_f, hm, new_ss = _fused_slot_train(
-                p, s, y, f, cfg=cfg, bits_i=quant_kernel_bits(quant))
+                p, s, y, f, cfg=cfg, bits_i=quant_kernel_bits(quant),
+                rng=r)
             return (y, new_f), {"state": new_ss, "head_out": hm}
 
         if (not train) and cfg.use_pallas and quant is None \
@@ -1450,9 +1492,10 @@ def apply_cu_net(
         if fused_train:
             slot_p = _slot_subtree(params, i, cfg)
             slot_s = _slot_subtree(state, i, cfg)
+            ri = None if rng is None else jax.random.fold_in(rng, i)
             y, new_f, hm, new_ss = _fused_slot_train(
                 slot_p, slot_s, y, fifos, cfg=cfg, slot_i=i,
-                bits_i=quant_kernel_bits(quant)
+                bits_i=quant_kernel_bits(quant), rng=ri
             )
             fifos = {
                 "down": [list(fe) for fe in new_f["down"]],

@@ -105,12 +105,12 @@ def make_sharded_train_step(
     fused_train_ok — the apply path is a tpu_custom_call GSPMD cannot
     partition), dispatches to the explicit shard_map + psum construction
     instead. Configs where the model itself falls back to lax (small
-    widths, drop_rate > 0) keep the GSPMD step so spatial meshes and the
-    dropout rng keep working."""
+    widths) keep the GSPMD step so spatial meshes keep working."""
     from cunet_tpu.models.cu_net import fused_train_ok
 
     if fused_train_ok(cfg) and apply_fn is None:
-        return make_shardmap_train_step(mesh, cfg, tx, donate=donate)
+        return make_shardmap_train_step(mesh, cfg, tx, donate=donate,
+                                        rng=rng)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
 
@@ -126,7 +126,7 @@ def make_sharded_train_step(
 
 def make_shardmap_train_step(
     mesh: Mesh, cfg: ModelConfig, tx: optax.GradientTransformation, *,
-    donate: bool = True, apply_fn=None,
+    donate: bool = True, apply_fn=None, rng: Optional[jax.Array] = None,
 ):
     """Data-parallel train step as an explicit shard_map: each device runs
     the full step on its batch shard (through the fused Pallas train
@@ -156,8 +156,17 @@ def make_shardmap_train_step(
 
     def body(state, batch):
         def loss_fn(params):
+            step_rng = None
+            if rng is not None:
+                # per-step fold (matches train_step) then per-shard fold so
+                # each device's dropout masks decorrelate across its batch
+                # shard
+                step_rng = jax.random.fold_in(
+                    jax.random.fold_in(rng, state.step),
+                    jax.lax.axis_index(DATA_AXIS))
             outs, new_bn = apply_fn(
-                params, state.bn_state, batch["image"], train=True)
+                params, state.bn_state, batch["image"], train=True,
+                rng=step_rng)
             return intermediate_mse(outs, batch["heatmap"]), (new_bn, outs[-1])
 
         (loss, (new_bn, last_out)), grads = jax.value_and_grad(
@@ -222,9 +231,9 @@ def make_sharded_eval_step(mesh: Mesh, cfg: ModelConfig):
     """Sharded validation/serving step. Pallas-kernel configs route through
     the explicit shard_map construction (GSPMD cannot partition the custom
     call); lax configs keep the GSPMD jit (spatial meshes supported)."""
-    from cunet_tpu.models.cu_net import _mosaic_ok
+    from cunet_tpu.models.cu_net import fused_eval_ok
 
-    if cfg.use_pallas and _mosaic_ok(cfg):
+    if fused_eval_ok(cfg):
         return make_shardmap_eval_step(mesh, cfg)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)

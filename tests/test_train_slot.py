@@ -406,3 +406,86 @@ class TestConvChunkBnTile4:
         fb, _ = jax.tree_util.tree_flatten(g_l)
         for a, b in zip(fa, fb):
             np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+
+class TestModelFusedDropout:
+    """drop_rate > 0 trains THROUGH the whole-slot kernels: precomputed
+    scaled masks are threaded as extra kernel inputs and applied to each
+    3x3 conv output (ref:models/cu_net.py:63-64 trains with dense-layer
+    dropout while keeping the memory-efficient runtime). The fused path
+    draws masks with the exact lax fold_in chain, so forward, BN state, and
+    grads are bit-comparable against the lax oracle under the SAME rng."""
+
+    @pytest.fixture(autouse=True)
+    def _interp(self, monkeypatch):
+        import cunet_tpu.kernels.train_slot as ts
+
+        orig = ts.fused_slot_train
+        monkeypatch.setattr(
+            ts, "fused_slot_train",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+
+    @pytest.mark.parametrize("use_scan", [True, False])
+    def test_dropout_forward_grads_parity(self, use_scan):
+        from cunet_tpu.models import apply_cu_net
+        from cunet_tpu.models.cu_net import fused_train_ok
+
+        SMALL = dict(layer_num=3, order=1, loss_num=3, class_num=4,
+                     neck_size=2, growth_rate=8, init_chan_num=16,
+                     num_blocks=2, bn_tile=2, compute_dtype="float32",
+                     drop_rate=0.25)
+        cfg_p = ModelConfig(use_pallas=True, use_scan=use_scan,
+                            bn_dtype="compute", remat="none", **SMALL)
+        cfg_l = ModelConfig(use_pallas=False, use_scan=False,
+                            bn_dtype="compute", remat="none", **SMALL)
+        assert fused_train_ok(cfg_p)  # dropout no longer forces the lax path
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        t = jax.random.uniform(jax.random.PRNGKey(2), (4, 8, 8, 4))
+        rng = jax.random.PRNGKey(7)
+
+        def loss(p, cfg):
+            outs, ns = apply_cu_net(p, state, x, cfg=cfg, train=True,
+                                    rng=rng)
+            return sum(jnp.mean((o - t) ** 2) for o in outs), (outs, ns)
+
+        (l_p, (outs_p, ns_p)), g_p = jax.value_and_grad(
+            loss, has_aux=True)(params, cfg_p)
+        (l_l, (outs_l, ns_l)), g_l = jax.value_and_grad(
+            loss, has_aux=True)(params, cfg_l)
+
+        np.testing.assert_allclose(l_p, l_l, rtol=1e-4)
+        for a, b in zip(outs_p, outs_l):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        fa, ta = jax.tree_util.tree_flatten(ns_p)
+        fb, tb = jax.tree_util.tree_flatten(ns_l)
+        assert ta == tb
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4)
+        fa, _ = jax.tree_util.tree_flatten(g_p)
+        fb, _ = jax.tree_util.tree_flatten(g_l)
+        for a, b in zip(fa, fb):
+            np.testing.assert_allclose(a, b, rtol=3e-3, atol=3e-3)
+
+    def test_dropout_actually_drops(self):
+        """The fused forward differs from its no-dropout version (the masks
+        are not trivially ones) and two rng keys give different outputs."""
+        from cunet_tpu.models import apply_cu_net
+
+        SMALL = dict(layer_num=2, order=1, loss_num=2, class_num=4,
+                     neck_size=2, growth_rate=8, init_chan_num=16,
+                     num_blocks=2, bn_tile=2, compute_dtype="float32")
+        cfg_d = ModelConfig(use_pallas=True, use_scan=False,
+                            bn_dtype="compute", remat="none",
+                            drop_rate=0.5, **SMALL)
+        cfg_0 = ModelConfig(use_pallas=True, use_scan=False,
+                            bn_dtype="compute", remat="none", **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        o_d, _ = apply_cu_net(params, state, x, cfg=cfg_d, train=True,
+                              rng=jax.random.PRNGKey(3))
+        o_d2, _ = apply_cu_net(params, state, x, cfg=cfg_d, train=True,
+                               rng=jax.random.PRNGKey(4))
+        o_0, _ = apply_cu_net(params, state, x, cfg=cfg_0, train=True)
+        assert not np.allclose(o_d[-1], o_0[-1])
+        assert not np.allclose(o_d[-1], o_d2[-1])

@@ -78,7 +78,8 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
 
 
 def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
-                use_scan: bool = True, layer_num: int = 8):
+                use_scan: bool = True, layer_num: int = 8,
+                drop: float = 0.0):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
     workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
     ``quant``: the WAGE W1/I8/G8 protocol (ref:cu-net-prev-version-wig.py
@@ -97,7 +98,8 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
     cfg = ModelConfig(layer_num=layer_num, order=1, class_num=16,
                       loss_num=layer_num,
                       compute_dtype="bfloat16", remat="none", use_scan=use_scan,
-                      use_pallas=True, bn_tile=bn_tile, bn_dtype="compute")
+                      use_pallas=True, bn_tile=bn_tile, bn_dtype="compute",
+                      drop_rate=drop)
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
     if use_scan:  # stacked storage requires the scan path
@@ -114,7 +116,8 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
             lambda s, b: quant_train_step(s, b, cfg=cfg, qcfg=qcfg, tx=tx),
             donate_argnums=0)  # in-place param/opt updates (HBM traffic)
     else:
-        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx),
+        rng = jax.random.PRNGKey(11) if drop > 0 else None
+        step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx, rng=rng),
                        donate_argnums=0)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
@@ -128,6 +131,8 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
         times.append((time.perf_counter() - t0) / n_iters)
     dt = statistics.median(times)
     tag = "" if bn_tile == 2 else f"_bn{bn_tile}"
+    if drop > 0:  # dropout trains THROUGH the fused kernels (masks in-kernel)
+        tag += f"_drop{drop:g}"
     name = f"cu_net{layer_num}"
     print(json.dumps({
         "metric": (f"{name}_256_quant_w1i8g8_train{tag}_images_per_sec_per_chip"
@@ -234,6 +239,8 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv:
         bench_train()
+    elif "--dropout_train" in sys.argv:  # dense-layer dropout in-kernel
+        bench_train(drop=0.2)
     elif "--quant_train" in sys.argv:  # WAGE W1/I8/G8 fused-kernel training
         bench_train(quant=True)
     elif "--k16" in sys.argv:  # the human flagship (ref:README.md:43)

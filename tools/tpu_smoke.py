@@ -22,12 +22,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-2 floors (VERDICT r2 #8): fail the gate below these. Records on r2
-# code: train 360-456 img/s (smoke config measured 360 on-chip), K=16 tera
-# eval 1423-1477. The axon relay varies ~10% day to day, so the floors sit
-# at the bottom of the record band, not under it.
+# Round-3/4 floors (VERDICT r3 #9): fail the gate below these. Records on
+# r3 code: headline K=8 tera eval 3005 img/s, train (stacked-scan shipped
+# config) 369, K=16 tera eval 1588. The axon relay varies ~10% day to day,
+# so floors sit ~10% under the record band bottom — a 10%+ regression of
+# any driver-recorded metric fails the gate.
 MIN_TRAIN_IMGS_PER_SEC = 360.0
-MIN_EVAL16_IMGS_PER_SEC = 1400.0
+MIN_EVAL16_IMGS_PER_SEC = 1450.0
+MIN_EVAL8_IMGS_PER_SEC = 2700.0
 
 
 def _fetch(x) -> float:
@@ -75,14 +77,13 @@ def smoke_train_k8() -> float:
     return ips
 
 
-def smoke_eval_k16_tera() -> float:
+def _smoke_eval_tera(layer_num: int, bs: int, floor: float) -> float:
     from cunet_tpu.config import ModelConfig
     from cunet_tpu.models import apply_cu_net, init_cu_net
 
-    cfg = ModelConfig(layer_num=16, order=1, class_num=16, loss_num=16,
-                      compute_dtype="bfloat16", remat="none",
-                      use_pallas=True, pallas_whole_model=True)
-    bs = 128
+    cfg = ModelConfig(layer_num=layer_num, order=1, class_num=16,
+                      loss_num=layer_num, compute_dtype="bfloat16",
+                      remat="none", use_pallas=True, pallas_whole_model=True)
     params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
 
     def fwd(params, state, x):
@@ -101,10 +102,19 @@ def smoke_eval_k16_tera() -> float:
         assert np.isfinite(_fetch(res[-1][0]))
         times.append((time.perf_counter() - t0) / 10)
     ips = bs / statistics.median(times)
-    print(f"eval K=16 @256 tera: {ips:.1f} img/s")
-    assert ips >= MIN_EVAL16_IMGS_PER_SEC, (
-        f"K=16 eval throughput regressed: {ips:.1f} < {MIN_EVAL16_IMGS_PER_SEC}")
+    print(f"eval K={layer_num} @256 tera: {ips:.1f} img/s")
+    assert ips >= floor, (
+        f"K={layer_num} eval throughput regressed: {ips:.1f} < {floor}")
     return ips
+
+
+def smoke_eval_k8_tera() -> float:
+    """The HEADLINE driver config (bench.py main): CU-Net-8 bf16 tera."""
+    return _smoke_eval_tera(8, 256, MIN_EVAL8_IMGS_PER_SEC)
+
+
+def smoke_eval_k16_tera() -> float:
+    return _smoke_eval_tera(16, 128, MIN_EVAL16_IMGS_PER_SEC)
 
 
 def smoke_grad_parity() -> None:
@@ -158,6 +168,7 @@ def main() -> int:
         print("TPU_SMOKE_PARITY_PASS")
         return 0
     smoke_train_k8()
+    smoke_eval_k8_tera()
     smoke_eval_k16_tera()
     print("TPU_SMOKE_PASS")
     return 0

@@ -20,9 +20,9 @@ run() {  # run <name> <timeout_s> <cmd...>
   [ $rc -eq 0 ] && echo ok > "$OUT/$name.done" || echo "rc=$rc (kept for retry)"
 }
 
-# 0. regression gate first: today's tree must hold the round-2 floors
-#    before any experiment data is trusted
-run gate        900 python tools/tpu_smoke.py
+# 0. regression gate first: today's tree must hold the ratcheted floors
+#    before any experiment data is trusted (3 metrics incl. K=8 tera)
+run gate        1800 python tools/tpu_smoke.py
 # 1. today's baseline (relay throughput varies ~10% day to day; doubles as
 #    the ablation reference)
 run base        420 python tools/ablate_infer.py none

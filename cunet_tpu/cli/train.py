@@ -239,11 +239,12 @@ def run_training(opt, exp_dir: str) -> dict:
     mesh = make_mesh(dp=dp, sp=opt.sp, devices=jax.devices()[: dp * opt.sp])
     state = jax.device_put(state, replicated(mesh))
 
+    drop_rng = (jax.random.PRNGKey(opt.seed + 1)
+                if opt.model == "cu_net" and cfg.drop_rate > 0 else None)
     if qcfg.enabled:
-        step_fn = make_sharded_quant_train_step(mesh, cfg, qcfg, tx, donate=False)
+        step_fn = make_sharded_quant_train_step(mesh, cfg, qcfg, tx,
+                                                donate=False, rng=drop_rng)
     else:
-        drop_rng = (jax.random.PRNGKey(opt.seed + 1)
-                    if opt.model == "cu_net" and cfg.drop_rate > 0 else None)
         step_fn = make_sharded_train_step(mesh, cfg, tx, donate=False,
                                           apply_fn=apply_fn, rng=drop_rng)
     if opt.use_pallas and not use_pallas:

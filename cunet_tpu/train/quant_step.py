@@ -73,6 +73,7 @@ def make_sharded_quant_train_step(
     *,
     donate: bool = False,
     policy: str = "reference",
+    rng: Optional[jax.Array] = None,
 ):
     """Compile ``quant_train_step`` over a mesh, mirroring
     ``make_sharded_train_step``: batch sharded (N over data, H over space),
@@ -88,10 +89,11 @@ def make_sharded_quant_train_step(
 
     if fused_train_ok(cfg) and qcfg.enabled:
         return make_shardmap_quant_train_step(
-            mesh, cfg, qcfg, tx, donate=donate, policy=policy)
+            mesh, cfg, qcfg, tx, donate=donate, policy=policy, rng=rng)
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    fn = functools.partial(quant_train_step, cfg=cfg, qcfg=qcfg, tx=tx, policy=policy)
+    fn = functools.partial(quant_train_step, cfg=cfg, qcfg=qcfg, tx=tx,
+                           policy=policy, rng=rng)
     return jax.jit(
         fn,
         in_shardings=(rep, {"image": bsh, "heatmap": bsh}),
@@ -108,6 +110,7 @@ def make_shardmap_quant_train_step(
     *,
     donate: bool = False,
     policy: str = "reference",
+    rng: Optional[jax.Array] = None,
 ):
     """Quantized data-parallel step as an explicit shard_map (the quant twin
     of ``train.step.make_shardmap_train_step``): each device runs the full
@@ -131,9 +134,16 @@ def make_shardmap_quant_train_step(
 
         def loss_fn(params):
             qparams = quantize_params(params, qcfg, pred)
+            step_rng = None
+            if rng is not None:
+                # per-step then per-shard fold so each device's dropout
+                # masks decorrelate across its batch shard
+                step_rng = jax.random.fold_in(
+                    jax.random.fold_in(rng, state.step),
+                    jax.lax.axis_index(DATA_AXIS))
             outs, new_bn = apply_cu_net(
                 qparams, state.bn_state, batch["image"], cfg=cfg,
-                train=True, quant=qcfg,
+                train=True, quant=qcfg, rng=step_rng,
             )
             return intermediate_mse(outs, batch["heatmap"]), (new_bn, outs[-1])
 

@@ -158,10 +158,28 @@ def smoke_grad_parity() -> None:
     assert worst < 5e-2, f"on-chip fused/lax grad divergence: {worst}"
 
 
+def _backend_or_exit(timeout_s: float = 180.0):
+    """Resolve the backend with a bound: during an axon relay outage,
+    jax.devices() hangs indefinitely — exit rc=3 fast instead of burning
+    the caller's (sweep-gate) timeout. The probe thread cannot be joined
+    if wedged, so a failed probe hard-exits."""
+    import concurrent.futures
+
+    ex = concurrent.futures.ThreadPoolExecutor(1)
+    fut = ex.submit(lambda: (jax.default_backend(),
+                             jax.devices()[0].device_kind))
+    try:
+        return fut.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        print(f"RELAY_UNAVAILABLE: backend init exceeded {timeout_s:.0f}s",
+              flush=True)
+        os._exit(3)
+
+
 def main() -> int:
-    if jax.default_backend() not in ("tpu", "axon") and \
-            "tpu" not in jax.devices()[0].device_kind.lower():
-        print(f"SKIP: needs a TPU backend (got {jax.default_backend()})")
+    backend, kind = _backend_or_exit()
+    if backend not in ("tpu", "axon") and "tpu" not in kind.lower():
+        print(f"SKIP: needs a TPU backend (got {backend})")
         return 0
     if "--parity" in sys.argv:
         smoke_grad_parity()

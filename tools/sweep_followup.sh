@@ -22,6 +22,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 # dropout through the fused train kernels (round-4 feature): the dropout
 # config must no longer fall off the 456-vs-175 cliff
 run drop_train 1500 python bench.py --dropout_train
+# conv3x3 backward via 9 thin per-tap dot pairs (no d_t tap-matrix build):
+# trades the canonicalized-concat VPU work for 3x the MXU tile passes —
+# wins if the backward is VPU/fixed-cost-bound like the eval kernel
+CUNET_CONV_BWD=taps run tr_taps 1500 python bench.py --train
 # the ratcheted 3-metric smoke gate (incl. the headline K=8 tera eval)
 run gate_r4    1500 python tools/tpu_smoke.py
 echo "followup complete: $OUT"

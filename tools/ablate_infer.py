@@ -19,6 +19,8 @@ import statistics
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 ablate = sys.argv[1] if len(sys.argv) > 1 else ""
 if ablate and ablate != "none":
     os.environ["CUNET_ABLATE"] = ablate

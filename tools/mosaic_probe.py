@@ -15,7 +15,11 @@ Usage (TPU):  timeout 600 python tools/mosaic_probe.py
 from __future__ import annotations
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +52,10 @@ def _op(kind, y):
     if kind == "sublane_roll1":          # dx conv-tap shift analog
         return jnp.roll(y, 1, axis=0) * 1.0001
     if kind == "add_slice32":            # scatter-conv tap add analog
-        return y.at[:, :32].set(y[:, :32] + y[:, 32:64])
+        # .at[].set lowers to an unsupported `scatter` in Mosaic (jax 0.9);
+        # dynamic_update_slice is the lowering the product kernels use
+        return jax.lax.dynamic_update_slice(
+            y, y[:, :32] + y[:, 32:64], (0, 0))
     raise ValueError(kind)
 
 
@@ -136,6 +143,11 @@ def overlap_probe(n_dots, n_vpu, iters=20):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((GRID * rows, k), jnp.bfloat16),
                    jax.ShapeDtypeStruct((GRID * zr, zl), jnp.float32)],
+        # double-buffered blocks total ~17.5 MB — above the 16 MB default
+        # scoped-vmem cap (v5e VMEM is 128 MB; the product kernels set this
+        # too, see kernels/fused_model_buf.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )
     f = jax.jit(lambda x, w, z: sum(
         jnp.sum(o.astype(jnp.float32)) for o in fn(x, w, z)))

@@ -51,11 +51,10 @@ def _op(kind, y):
         return jnp.roll(y, 32, axis=-1) * 1.0001
     if kind == "sublane_roll1":          # dx conv-tap shift analog
         return jnp.roll(y, 1, axis=0) * 1.0001
-    if kind == "add_slice32":            # scatter-conv tap add analog
-        # .at[].set lowers to an unsupported `scatter` in Mosaic (jax 0.9);
-        # dynamic_update_slice is the lowering the product kernels use
-        return jax.lax.dynamic_update_slice(
-            y, y[:, :32] + y[:, 32:64], (0, 0))
+    # (no add probe: jax 0.9 Mosaic lowers neither value .at[].set nor value
+    # dynamic_update_slice, and an unfoldable pure-add chain doesn't exist —
+    # a VPU add is the same single-op class as max, so probe_to_json derives
+    # the "add" constant from the measured relu slope.)
     raise ValueError(kind)
 
 
@@ -177,7 +176,7 @@ def main():
         probe("mul", dtype=jnp.bfloat16)
         probe("affine_relu", dtype=jnp.bfloat16)
     if "extra" in sel:
-        for kind in ["affine_vec", "relu", "add_slice32"]:
+        for kind in ["affine_vec", "relu"]:
             probe(kind)
     if "overlap" in sel:
         # legs sized to take comparable time (bf16 512^3 dot ~= 0.27 GFLOP;

@@ -58,6 +58,11 @@ def main():
         m = OVERLAP_RE.match(line.strip())
         if m:
             overlap[(int(m.group(1)), int(m.group(2)))] = float(m.group(3))
+    # "add" has no direct probe (jax 0.9 Mosaic cannot lower an unfoldable
+    # pure-add chain): a VPU add is the same single-op class as max, so it
+    # inherits the relu slope.
+    if "add" not in out["ns_per_vrow"] and "relu" in out["ns_per_vrow"]:
+        out["ns_per_vrow"]["add"] = out["ns_per_vrow"]["relu"]
     missing = [k for k in ("affine_relu", "relu", "cast", "add", "copy")
                if k not in out["ns_per_vrow"]]
     if missing:

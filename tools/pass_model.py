@@ -57,12 +57,15 @@ def vrows(rows: int, lanes: int) -> float:
 
 class Model:
     def __init__(self, probe, bt, chunk_rows, taps_acc, scatter_add,
-                 c=128, g=32, cb=128, order=1, nb=4, h0=64, cls=16):
+                 c=128, g=32, cb=128, order=1, nb=4, h0=64, cls=16,
+                 conv_mode="scatter"):
         self.p = probe
         self.bt = bt
         self.chunk_rows = chunk_rows
         self.taps_acc = taps_acc          # "f32" | "bf16"
         self.scatter_add = scatter_add    # "flat9" | "tree2"
+        self.conv_mode = conv_mode        # "scatter" | "taps" (the shipped
+                                          # default — 9 thin N=32 dots)
         self.c, self.g, self.cb = c, g, cb
         self.order, self.nb, self.h0, self.cls = order, nb, h0, cls
         self.items = {}   # label -> [vpu_ns, mxu_ns, passes]
@@ -106,17 +109,28 @@ class Model:
             # vec2 add+relu on the f32 dot output, cast
             self.add("vec2", m, cb, "relu")
             self.add("vec2", m, cb, "cast")
-            # scatter conv: fat dot + epilogue
-            self.dot("conv_dot", m, cb, 9 * g)
-            if self.taps_acc == "f32":
-                self.add("conv_epi", m, 9 * g, "cast")   # t -> bf16
-            self.add("conv_epi", m, 9 * g, "copy")       # pad materialize
-            if self.scatter_add == "tree2":
-                self.add("conv_epi", m, 3 * g, "add", repeats=3)
-                self.add("conv_epi", m, g, "add", repeats=3)
+            if self.conv_mode == "taps":
+                # 9 thin (m, Cb)@(Cb, G) dots, f32 accumulated in-value:
+                # each pads N=32 -> 128 (4x FLOP inflation), epilogue is
+                # the 9-term f32 accumulate + one downcast; input taps are
+                # shifted slice reads of the padded y2 (copy to build pad)
+                self.add("conv_epi", m, cb, "copy")      # ypad materialize
+                for _ in range(9):
+                    self.dot("conv_dot", m, cb, g)
+                self.add("conv_epi", m, g, "add", repeats=8)
+                self.add("conv_epi", m, g, "cast")       # acc f32 -> bf16
             else:
-                self.add("conv_epi", m, g, "add", repeats=9)
-            self.add("conv_epi", m, g, "cast")           # out32 -> bf16
+                # scatter conv: fat dot + epilogue
+                self.dot("conv_dot", m, cb, 9 * g)
+                if self.taps_acc == "f32":
+                    self.add("conv_epi", m, 9 * g, "cast")   # t -> bf16
+                self.add("conv_epi", m, 9 * g, "copy")       # pad materialize
+                if self.scatter_add == "tree2":
+                    self.add("conv_epi", m, 3 * g, "add", repeats=3)
+                    self.add("conv_epi", m, g, "add", repeats=3)
+                else:
+                    self.add("conv_epi", m, g, "add", repeats=9)
+                self.add("conv_epi", m, g, "cast")           # out32 -> bf16
             self.add("bufio", m, g, "copy")              # out32 buffer write
             # adapters
             self.add("prologue", m, x2k, "affine_relu")
@@ -202,6 +216,7 @@ def main():
                                                "4096")))
     ap.add_argument("--taps_acc", default="f32")
     ap.add_argument("--scatter_add", default="flat9")
+    ap.add_argument("--conv", default="scatter", choices=["scatter", "taps"])
     args = ap.parse_args()
 
     probe = dict(PROBE_DEFAULTS)
@@ -210,7 +225,7 @@ def main():
         probe["measured"] = True
 
     m = Model(probe, args.bt, args.chunk_rows, args.taps_acc,
-              args.scatter_add)
+              args.scatter_add, conv_mode=args.conv)
     out = m.run(args.k, args.batch)
     json.dump(out, sys.stdout, indent=1)
     print()

@@ -29,32 +29,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 1024          # rows per grid step
 GRID = 32            # grid steps per launch
-P_HI = 16            # chain depth (per-op cost = (t - t_base) / P_HI)
+# Chain depths. Two lessons from the first on-chip run (r4 sweep,
+# /tmp/r4sweep/probe_core.log): (1) shallow chains (P=16) hide entirely
+# under the per-block HBM stream (all per-op costs came out NEGATIVE —
+# grid-step DMA overlaps compute, so light VPU work is free); (2) chains of
+# constant ops (y*c, max(y,c), bf16 round-trips) are algebraically
+# composable, so the backend may fold them to depth 1. Fix: measure the
+# SLOPE between two deep depths (both far above the DMA floor) of chains
+# built around the quadratic map y <- 0.5*y*y + 0.1 (converges to the
+# stable fixed point ~0.106; no closed form, cannot fold).
+P_HI = 96
+P_LO = 24
+
+
+def _quad(y):
+    return y * y * 0.5 + 0.1
+
+
+# ops per chain step: the quadratic anti-fold core is 3 VPU ops (mul, mul,
+# add); each kind appends its priced op(s) on top.
+_STEP_OPS = {
+    "quad": 3,           # the bare core: prices the generic VPU-op constant
+    "quad_max": 4,       # + elementwise max (relu class)
+    "quad_affine_vec": 5,    # + (1,C)-broadcast mul+add (BN affine class)
+    "quad_cast2": 5,     # + f32->bf16->f32 round trip (2 cast ops)
+    "quad_roll_lane": 4,     # + lane roll (misaligned lane slice analog)
+    "quad_roll_sub": 4,      # + sublane roll (dx conv-tap shift analog)
+}
 
 
 def _op(kind, y):
-    if kind == "mul":
-        return y * 1.0001
-    if kind == "affine":                 # mul+add: tests FMA fusion
-        return y * 1.0001 + 0.0001
-    if kind == "affine_vec":             # broadcast (1, C) operands like BN
+    z = _quad(y)
+    if kind == "quad":
+        return z
+    if kind == "quad_max":
+        return jnp.maximum(z, 0.103)
+    if kind == "quad_affine_vec":
         v = jnp.full((1, y.shape[-1]), 1.0001, y.dtype)
         b = jnp.full((1, y.shape[-1]), 0.0001, y.dtype)
-        return y * v + b
-    if kind == "relu":
-        return jnp.maximum(y, 0.000123)
-    if kind == "affine_relu":            # the full BN prologue op pair
-        return jnp.maximum(y * 1.0001 + 0.0001, 0.000123)
-    if kind == "cast2":                  # f32 -> bf16 -> f32 round trip
-        return y.astype(jnp.bfloat16).astype(jnp.float32) * 1.0001
-    if kind == "lane_roll32":            # misaligned lane slice analog
-        return jnp.roll(y, 32, axis=-1) * 1.0001
-    if kind == "sublane_roll1":          # dx conv-tap shift analog
-        return jnp.roll(y, 1, axis=0) * 1.0001
-    # (no add probe: jax 0.9 Mosaic lowers neither value .at[].set nor value
-    # dynamic_update_slice, and an unfoldable pure-add chain doesn't exist —
-    # a VPU add is the same single-op class as max, so probe_to_json derives
-    # the "add" constant from the measured relu slope.)
+        return z * v + b
+    if kind == "quad_cast2":
+        return z.astype(jnp.bfloat16).astype(jnp.float32) if \
+            y.dtype == jnp.float32 else z.astype(jnp.float32).astype(y.dtype)
+    if kind == "quad_roll_lane":
+        return jnp.roll(z, 32, axis=-1)
+    if kind == "quad_roll_sub":
+        return jnp.roll(z, 1, axis=0)
     raise ValueError(kind)
 
 
@@ -86,14 +106,24 @@ def run(kind, P, lanes, dtype, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
-_BASE = {}
+_QUAD_SLOPE = {}
 
 
 def probe(kind, lanes=256, dtype=jnp.float32):
+    """Prices ONE op of ``kind``'s extra class: chain-slope between P_HI and
+    P_LO, minus the quadratic core's own slope (measured once per
+    lanes/dtype). lanes >= 128 only — narrower out blocks hit jax 0.9's
+    unimplemented value dynamic_update_slice lowering."""
     key = (lanes, np.dtype(dtype).name)
-    if key not in _BASE:
-        _BASE[key] = run("mul", 0, lanes, dtype)   # launch + HBM stream
-    per_op = (run(kind, P_HI, lanes, dtype) - _BASE[key]) / P_HI
+    slope = (run(kind, P_HI, lanes, dtype)
+             - run(kind, P_LO, lanes, dtype)) / (P_HI - P_LO)
+    if key not in _QUAD_SLOPE:
+        _QUAD_SLOPE[key] = slope if kind == "quad" else (
+            run("quad", P_HI, lanes, dtype)
+            - run("quad", P_LO, lanes, dtype)) / (P_HI - P_LO)
+    per_op = slope if kind == "quad" else slope - _QUAD_SLOPE[key]
+    n_ops = 3 if kind == "quad" else _STEP_OPS[kind] - 3
+    per_op /= n_ops
     n_el = GRID * ROWS * lanes
     bsz = np.dtype(dtype).itemsize
     gbps = 2 * n_el * bsz / per_op / 1e9 if per_op > 0 else float("inf")
@@ -165,19 +195,16 @@ def main():
     import sys
     sel = sys.argv[1:] or ["core"]
     print(f"device: {jax.devices()[0].device_kind}; "
-          f"block rows={ROWS} grid={GRID} base={_BASE}", flush=True)
+          f"block rows={ROWS} grid={GRID} depths={P_LO}/{P_HI}", flush=True)
     if "core" in sel:
-        for kind in ["mul", "affine", "affine_relu", "cast2",
-                     "lane_roll32", "sublane_roll1"]:
+        for kind in ["quad", "quad_max", "quad_cast2",
+                     "quad_roll_lane", "quad_roll_sub"]:
             probe(kind)
     if "width" in sel:
-        for lanes in [32, 128]:
-            probe("mul", lanes=lanes)
-        probe("mul", dtype=jnp.bfloat16)
-        probe("affine_relu", dtype=jnp.bfloat16)
+        probe("quad", lanes=128)
+        probe("quad", dtype=jnp.bfloat16)
     if "extra" in sel:
-        for kind in ["affine_vec", "relu"]:
-            probe(kind)
+        probe("quad_affine_vec")
     if "overlap" in sel:
         # legs sized to take comparable time (bf16 512^3 dot ~= 0.27 GFLOP;
         # one vpu chain step = 1M f32 FMAs on the independent buffer), so

@@ -7,14 +7,13 @@ Unit mapping: the probe prints ns/row at its probe width (lanes column);
 pass_model prices ns per (8,128) vreg-row group ("vrow"), so
 ns_per_vrow = ns_per_row * 8 / ceil(lanes/128).
 
-Kind mapping (probe op -> pass_model class):
-  affine_relu -> affine_relu   (the BN prologue pair, f32)
-  relu        -> relu
-  cast2       -> cast          (probe chains a f32->bf16->f32 ROUND TRIP,
-                                i.e. two casts: halved here)
-  add_slice32 -> add           (scatter-conv tap-add analog)
-  mul         -> copy          (read-modify-write ~= a buffer copy's
-                                read+write; closest probed proxy)
+Kind mapping (probe op -> pass_model class). The r4 probe rewrite prices
+ops as extras on top of a non-foldable quadratic chain (mosaic_probe.py):
+  quad            -> relu/add/copy (one generic VPU op each) and
+                     affine_relu at 2x (mul+add-then-max = 2 op classes)
+  quad_max        -> relu (direct measurement; overrides the quad proxy)
+  quad_cast2      -> cast (per-op already halved by the probe's op count)
+  quad_affine_vec -> broadcast FMA (affine_relu = this + relu when present)
 
 fixed_ns_per_pass comes from the overlap probe's per-pass intercept when
 present (the "dots=0 vpu=1" minus "dots=0 vpu=0" line pair), else keeps the
@@ -26,12 +25,18 @@ import math
 import re
 import sys
 
+# (class, scale, priority): higher priority wins when both map to a class
 KIND_MAP = {
-    "affine_relu": ("affine_relu", 1.0),
-    "relu": ("relu", 1.0),
-    "cast2": ("cast", 0.5),
-    "add_slice32": ("add", 1.0),
-    "mul": ("copy", 1.0),
+    "quad": [("relu", 1.0, 0), ("add", 1.0, 0), ("copy", 1.0, 0),
+             ("affine_relu", 2.0, 0)],
+    "quad_max": [("relu", 1.0, 1), ("add", 1.0, 1)],
+    "quad_cast2": [("cast", 1.0, 1)],
+    "quad_affine_vec": [("affine_relu", 1.0, 1)],  # + relu added below
+    # legacy pre-r4 kinds (foldable chains; kept so old logs still parse)
+    "affine_relu": [("affine_relu", 1.0, 2)],
+    "relu": [("relu", 1.0, 2)],
+    "cast2": [("cast", 0.5, 2)],
+    "mul": [("copy", 1.0, 2)],
 }
 
 ROW_RE = re.compile(
@@ -44,6 +49,8 @@ def main():
     if len(sys.argv) != 2:
         sys.exit(__doc__)
     out = {"measured": True, "ns_per_vrow": {}, "source": sys.argv[1]}
+    prio = {}
+    affine_parts = {}
     overlap = {}
     for line in open(sys.argv[1], errors="replace"):
         m = ROW_RE.match(line.strip())
@@ -51,18 +58,22 @@ def main():
             kind, lanes, dtype, _, _, ns_row = m.groups()
             if kind not in KIND_MAP or dtype != "float32":
                 continue
-            cls, scale = KIND_MAP[kind]
-            v = float(ns_row) * scale * 8.0 / math.ceil(int(lanes) / 128)
-            # keep the first (canonical-width) measurement per class
-            out["ns_per_vrow"].setdefault(cls, round(v, 3))
+            for cls, scale, p in KIND_MAP[kind]:
+                v = float(ns_row) * scale * 8.0 / math.ceil(int(lanes) / 128)
+                if p >= prio.get(cls, -1):
+                    out["ns_per_vrow"][cls] = round(v, 3)
+                    prio[cls] = p
+            if kind in ("quad_affine_vec", "quad_max"):
+                affine_parts[kind] = float(ns_row) * 8.0 / math.ceil(
+                    int(lanes) / 128)
         m = OVERLAP_RE.match(line.strip())
         if m:
             overlap[(int(m.group(1)), int(m.group(2)))] = float(m.group(3))
-    # "add" has no direct probe (jax 0.9 Mosaic cannot lower an unfoldable
-    # pure-add chain): a VPU add is the same single-op class as max, so it
-    # inherits the relu slope.
-    if "add" not in out["ns_per_vrow"] and "relu" in out["ns_per_vrow"]:
-        out["ns_per_vrow"]["add"] = out["ns_per_vrow"]["relu"]
+    # affine_relu (BN prologue: broadcast FMA then max) = measured
+    # broadcast-FMA + measured max, when both direct probes ran
+    if len(affine_parts) == 2:
+        out["ns_per_vrow"]["affine_relu"] = round(
+            affine_parts["quad_affine_vec"] + affine_parts["quad_max"], 3)
     missing = [k for k in ("affine_relu", "relu", "cast", "add", "copy")
                if k not in out["ns_per_vrow"]]
     if missing:

@@ -71,16 +71,34 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
         # instead: 2x the pad/transient bytes, but drops the (m, 9G)
         # downcast pass and the 9 per-tap upcast passes.
         t32 = _TAPS_F32 and y2.dtype != jnp.float32
-        t = jax.lax.dot_general(
-            y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
-            preferred_element_type=_dot_out_type(y2.dtype),
-        )
-        if not t32:
-            t = t.astype(y2.dtype)
-        if "scatteradd" in _ABLATE:   # keep the dot, drop the 9 tap adds
-            return t[:, :cout].astype(jnp.float32)
-        tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
-                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        if _SCATTER_PAD == "pre" and "scatteradd" not in _ABLATE:
+            # pad the conv INPUT (Cb lanes) instead of the tap matrix
+            # (9G lanes): padding commutes with the per-position matmul
+            # (zero rows dot to zero rows), so t(pad(y)) == pad(t(y)) while
+            # moving the pad-copy from 9G=288-wide to Cb=128-wide and
+            # letting the fat dot produce the padded layout directly. Costs
+            # (h+2)(w+2)/(hw) extra dot rows (6.5% at 64^2).
+            ypad = jnp.pad(y2.reshape(b, h, w, cb),
+                           ((0, 0), (1, 1), (1, 1), (0, 0)))
+            t = jax.lax.dot_general(
+                ypad.reshape(b * (h + 2) * (w + 2), cb),
+                w3.astype(y2.dtype), dn,
+                preferred_element_type=_dot_out_type(y2.dtype),
+            )
+            if not t32:
+                t = t.astype(y2.dtype)
+            tp = t.reshape(b, h + 2, w + 2, 9 * cout)
+        else:
+            t = jax.lax.dot_general(
+                y2.astype(y2.dtype), w3.astype(y2.dtype), dn,
+                preferred_element_type=_dot_out_type(y2.dtype),
+            )
+            if not t32:
+                t = t.astype(y2.dtype)
+            if "scatteradd" in _ABLATE:  # keep the dot, drop the 9 tap adds
+                return t[:, :cout].astype(jnp.float32)
+            tp = jnp.pad(t.reshape(b, h, w, 9 * cout),
+                         ((0, 0), (1, 1), (1, 1), (0, 0)))
         # CUNET_TAPS_ACC=bf16: accumulate the 9 taps in bf16 (numerics: a
         # 9-term bf16 sum of same-scale terms loses <=3 ulp vs the f32
         # accumulate; the output is cast to bf16 either way). Skips the 9
@@ -214,6 +232,7 @@ _UPS_MODE = os.environ.get("CUNET_UPS_MODE", "cat")
 _TAPS_F32 = os.environ.get("CUNET_TAPS_F32", "0") == "1"
 _TAPS_ACC = os.environ.get("CUNET_TAPS_ACC", "f32")
 _SCATTER_ADD = os.environ.get("CUNET_SCATTER_ADD", "flat9")
+_SCATTER_PAD = os.environ.get("CUNET_SCATTER_PAD", "post")
 
 
 def _maxpool2(x, h, w, b=1):

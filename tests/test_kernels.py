@@ -152,3 +152,32 @@ class TestBatchTileSelection:
         from cunet_tpu.kernels.fused_model import default_batch_tile
         monkeypatch.setenv("CUNET_TERA_BATCH_TILE", "4")
         assert default_batch_tile(256, 64, 8) == 4
+
+
+class TestConv3x3Modes:
+    """All in-kernel 3x3 conv formulations (kernels/fused_hourglass.py
+    _conv3x3: taps / onedot / scatter x {post,pre}-pad x {flat9,tree2}) must
+    agree. The pre-pad variant relies on padding commuting with the
+    per-position matmul (zero input rows dot to zero tap rows)."""
+
+    def test_all_modes_agree(self, monkeypatch):
+        import cunet_tpu.kernels.fused_hourglass as fh
+
+        rng = np.random.RandomState(0)
+        b, h, w, cb, g = 2, 8, 6, 16, 8
+        y2 = jnp.asarray(rng.randn(b * h * w, cb), jnp.float32)
+        w3 = jnp.asarray(rng.randn(3, 3, cb, g) * 0.1, jnp.float32)
+        ref = fh._conv3x3(y2, w3, b, h, w, mode="taps")
+        assert ref.shape == (b * h * w, g)
+        one = fh._conv3x3(y2, w3, b, h, w, mode="onedot")
+        np.testing.assert_allclose(np.asarray(one), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        wp = fh.pack_w3_scatter(w3)
+        for pad in ("post", "pre"):
+            for add in ("flat9", "tree2"):
+                monkeypatch.setattr(fh, "_SCATTER_PAD", pad)
+                monkeypatch.setattr(fh, "_SCATTER_ADD", add)
+                got = fh._conv3x3(y2, wp, b, h, w, mode="scatter")
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
+                    err_msg=f"scatter pad={pad} add={add}")

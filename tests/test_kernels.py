@@ -181,3 +181,26 @@ class TestConv3x3Modes:
                 np.testing.assert_allclose(
                     np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4,
                     err_msg=f"scatter pad={pad} add={add}")
+
+
+class TestBf16Prologue:
+    """CUNET_KERNEL_BF16_PROLOGUE=1 runs the BN affine+relu prologues in
+    bf16 (halves their VPU bytes). Model-level parity vs the f32 prologue
+    within bf16 tolerance — the knob must stay shippable."""
+
+    def test_model_parity(self, monkeypatch):
+        import cunet_tpu.kernels.fused_hourglass as fh
+
+        cfg = ModelConfig(layer_num=2, order=1, loss_num=2, use_pallas=True,
+                          pallas_whole_model=False, compute_dtype="bfloat16",
+                          **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3),
+                              jnp.bfloat16)
+        monkeypatch.setattr(fh, "_BF16_PROLOGUE", False)
+        out_f, _ = apply_cu_net(params, state, x, cfg=cfg, train=False)
+        monkeypatch.setattr(fh, "_BF16_PROLOGUE", True)
+        out_b, _ = apply_cu_net(params, state, x, cfg=cfg, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_b[-1], np.float32), np.asarray(out_f[-1], np.float32),
+            rtol=0.05, atol=0.05)

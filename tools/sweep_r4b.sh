@@ -40,6 +40,10 @@ CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_TAPS_ACC=bf16 \
 CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_TERA_BATCH_TILE=4 \
   CUNET_CHUNK_LOOP=fori \
   run k16_scat_pre 900 python tools/ablate_infer.py none 16
+# bf16 BN prologue: the affine+relu passes run f32 by default; bf16 halves
+# their VPU bytes (the probe prices a bf16 pass at ~half the f32 one)
+CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_KERNEL_BF16_PROLOGUE=1 \
+  run bf16pro 900 python tools/ablate_infer.py none
 # stage decomposition at the winning config (r4a ab_* logs were clobbered
 # by a stale-install import error; these four decide the next VPU cut)
 for a in pools affine fifo headdma; do

@@ -16,12 +16,25 @@ async failure crashes rather than inflating the number.
 """
 
 import json
+import os
 import statistics
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compile cache: the r4 sweep measured that it round-trips
+# through the axon remote-compile path (tr_unroll_cold 147 s wall ->
+# tr_unroll_warm 64 s), which is what makes the unrolled train config
+# driver-shippable. Harmless on platforms without it.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/axcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:  # older jax: cache flags absent — run uncached
+    pass
 
 from cunet_tpu.config import ModelConfig
 from cunet_tpu.models import apply_cu_net, init_cu_net
@@ -78,7 +91,7 @@ def train_flops_per_image(cfg: ModelConfig) -> float:
 
 
 def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
-                use_scan: bool = True, layer_num: int = 8,
+                use_scan: bool = False, layer_num: int = 8,
                 drop: float = 0.0):
     """CU-Net-8 @256 bs24 training step throughput (the reference's headline
     workload: ref:cu-net.py:147-206 RMSprop heatmap regression). With
@@ -92,9 +105,11 @@ def bench_train(quant: bool = False, bn_tile: int = 2, bs: int = 24,
 
     # whole-slot fused train kernels (1 fwd + 2 bwd launches per slot),
     # ghost-BN tile 2 = the reference's per-replica DataParallel BN stats.
-    # Steady-slot params are natively STACKED so the lax.scan consumes them
-    # with zero per-step marshaling — the scanned step now matches the
-    # unrolled slots' speed at scan-mode compile times.
+    # Default = UNROLLED slots (r4: 477-480 img/s at ~2.5 min cold / ~1 min
+    # cached compile — the stacked-param + conv-chunk work shrank the old
+    # 25-min unrolled compile, and the persistent cache survives the axon
+    # remote-compile path). use_scan=True keeps the natively STACKED
+    # zero-marshal lax.scan (369-371 img/s) for compile-time-sensitive use.
     cfg = ModelConfig(layer_num=layer_num, order=1, class_num=16,
                       loss_num=layer_num,
                       compute_dtype="bfloat16", remat="none", use_scan=use_scan,

@@ -40,6 +40,9 @@ CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_TAPS_ACC=bf16 \
 CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_TERA_BATCH_TILE=4 \
   CUNET_CHUNK_LOOP=fori \
   run k16_scat_pre 900 python tools/ablate_infer.py none 16
+# quant W1/I8/G8 training through the now-default unrolled slots
+# (VERDICT r3 #7: >=400; scan record was 354.8)
+run qt_unroll 1500 python bench.py --quant_train
 # bf16 BN prologue: the affine+relu passes run f32 by default; bf16 halves
 # their VPU bytes (the probe prices a bf16 pass at ~half the f32 one)
 CUNET_SCATTER_PAD=pre CUNET_SCATTER_ADD=tree2 CUNET_KERNEL_BF16_PROLOGUE=1 \

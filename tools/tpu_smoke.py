@@ -22,12 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-3/4 floors (VERDICT r3 #9): fail the gate below these. Records on
-# r3 code: headline K=8 tera eval 3005 img/s, train (stacked-scan shipped
-# config) 369, K=16 tera eval 1588. The axon relay varies ~10% day to day,
-# so floors sit ~10% under the record band bottom — a 10%+ regression of
-# any driver-recorded metric fails the gate.
-MIN_TRAIN_IMGS_PER_SEC = 335.0   # r3 record 369; r4 measured day band 352-369
+# Round-4 floors (VERDICT r3 #9): fail the gate below these. Records:
+# headline K=8 tera eval 3005 img/s (r3), train UNROLLED (the r4 shipped
+# config) 480, K=16 tera eval 1588 (r3). The axon relay varies ~10% day to
+# day, so floors sit ~10% under the record band bottom — a 10%+ regression
+# of any driver-recorded metric fails the gate.
+MIN_TRAIN_IMGS_PER_SEC = 430.0   # r4 unrolled record 477-480
 MIN_EVAL16_IMGS_PER_SEC = 1450.0
 MIN_EVAL8_IMGS_PER_SEC = 2700.0
 
@@ -40,19 +40,25 @@ def _fetch(x) -> float:
 
 def smoke_train_k8() -> float:
     from cunet_tpu.config import ModelConfig, TrainConfig
-    from cunet_tpu.models import init_cu_net, stack_steady
+    from cunet_tpu.models import init_cu_net
     from cunet_tpu.train import create_train_state, make_optimizer, train_step
 
     # the SHIPPED fast train config, identical to bench.py::bench_train:
-    # fused train-slot kernels + natively STACKED steady-slot params (the
-    # 360 floor was ratcheted from the stacked-scan record; measuring the
-    # non-stacked marshal path here would fail the gate at r3 perf)
+    # fused train-slot kernels, UNROLLED slots (r4 record 477-480 img/s;
+    # cold compile ~2.5 min, ~1 min with the persistent cache bench.py
+    # configures — this smoke sets the same cache dir)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/axcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
-                      compute_dtype="bfloat16", remat="none",
+                      compute_dtype="bfloat16", remat="none", use_scan=False,
                       use_pallas=True, bn_tile=2, bn_dtype="compute")
     bs = 24
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
-    params, bn = stack_steady(params, cfg), stack_steady(bn, cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
     state = create_train_state(params, bn, tx)
     rng = np.random.RandomState(0)

@@ -215,3 +215,38 @@ class TestFusedWholeModel:
         for a, b in zip(out_p, out_l):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+    def test_buf_kernel_fori_scatter_pre_tree2_matches_lax(self, monkeypatch):
+        """The r4 shipping combination through the tera kernel: fori chunk
+        loop (bounded compile — non-fori scatter times out Mosaic at
+        K8-bt8), scatter conv with pre-padded input, tree2 two-level tap
+        gather. Must match the lax model."""
+        import cunet_tpu.kernels.fused_hourglass as fh
+        import cunet_tpu.kernels.fused_model_buf as fmb
+        from cunet_tpu.config import ModelConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+
+        monkeypatch.setenv("CUNET_TERA_IMPL", "buf")
+        monkeypatch.setenv("CUNET_TERA_CHUNK_ROWS", "64")
+        monkeypatch.setenv("CUNET_TERA_BATCH_TILE", "2")
+        monkeypatch.setenv("CUNET_CHUNK_LOOP", "fori")
+        monkeypatch.setattr(fh, "_CONV3X3_MODE", "scatter")
+        monkeypatch.setattr(fh, "_SCATTER_PAD", "pre")
+        monkeypatch.setattr(fh, "_SCATTER_ADD", "tree2")
+        orig = fmb.fused_model_buf_infer
+        monkeypatch.setattr(
+            fmb, "fused_model_buf_infer",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2)
+        cfg_p = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=True, pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=False, use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

@@ -47,7 +47,9 @@ def main():
         return jnp.sum(o32), jnp.min(o32)
 
     x = jnp.ones((batch, 256, 256, 3), jnp.bfloat16)
+    t_c = time.perf_counter()
     compiled = jax.jit(fwd).lower(params, state, x).compile()
+    print(f"compile_s: {time.perf_counter() - t_c:.1f}", flush=True)
     s0, _ = compiled(params, state, x)
     if "headdma" not in ablate:      # headdma leaves the output garbage
         assert np.isfinite(float(s0))

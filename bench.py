@@ -255,6 +255,10 @@ if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
     elif "--dropout_train" in sys.argv:  # dense-layer dropout in-kernel
+        # rbg PRNG for the mask stream (measured 457 vs 306 img/s: threefry
+        # generation of ~67M mask samples/step costs ~22 ms on v5e)
+        if os.environ.get("CUNET_DROP_PRNG", "rbg") == "rbg":
+            jax.config.update("jax_default_prng_impl", "rbg")
         bench_train(drop=0.2)
     elif "--quant_train" in sys.argv:  # WAGE W1/I8/G8 fused-kernel training
         bench_train(quant=True)

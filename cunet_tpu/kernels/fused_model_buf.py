@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cunet_tpu.kernels.fused_hourglass import (
     _ABLATE,
+    _CONV3X3_MODE,
     _bottleneck_val,
     _conv3x3,
     _maxpool2,
@@ -170,12 +171,16 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
         return pl.ds(u * m, m)
 
     def for_chunks(n, body):
-        """body(u) for u in [0, n): unrolled by default (measured ~1.5%
-        faster than a lax.fori_loop at bt=4 — Mosaic pipelines across the
-        unrolled chunks); CUNET_CHUNK_LOOP=fori swaps in the dynamic loop,
-        which compiles much faster and keeps the program small for
-        compile-bound configs (int8 / K=16 at large tiles)."""
-        if n <= 1 or os.environ.get("CUNET_CHUNK_LOOP", "unroll") != "fori":
+        """body(u) for u in [0, n): the default loop form is coupled to the
+        conv3x3 mode (fused_hourglass._CONV3X3_MODE). Scatter mode MUST use
+        the dynamic fori loop — unrolling replicates the 9-tap scatter body
+        per chunk and Mosaic compile times out (>900 s) at bt=8 — and the
+        pair is the r4-measured record (3345 img/s). Taps mode keeps the
+        unrolled chunks (measured ~1.5% faster than fori at bt=4; Mosaic
+        pipelines across the unrolled copies, and taps+fori exceeds scoped
+        VMEM at bt=8). CUNET_CHUNK_LOOP={fori,unroll} overrides."""
+        default_loop = "fori" if _CONV3X3_MODE == "scatter" else "unroll"
+        if n <= 1 or os.environ.get("CUNET_CHUNK_LOOP", default_loop) != "fori":
             for u in range(n):
                 body(u)
         else:

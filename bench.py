@@ -279,6 +279,7 @@ if __name__ == "__main__":
         for label, fn in (
             ("train", bench_train),
             ("quant_train", lambda: bench_train(quant=True)),
+            ("dropout_train", lambda: bench_train(drop=0.2)),
             ("k16", lambda: main(layer_num=16, metric_tag="cu_net16")),
             ("k16_train", lambda: bench_train(layer_num=16, bs=12)),
             ("int8", lambda: main(metric_tag="cu_net8_int8", int8=True)),

@@ -32,14 +32,20 @@ _BF16_PROLOGUE = os.environ.get("CUNET_KERNEL_BF16_PROLOGUE", "0") == "1"
 #   onedot  — im2col concat on K: (m, 9Cb)@(9Cb, G); still N=32
 #   scatter — ONE fat dot (m, Cb)@(Cb, 9G): N=9G=288 fills the lanes, then
 #             9 shifted (VPU) adds of G-wide slices gather the taps
-# scatter is the r4-measured default (3345 vs 3005 img/s at K8-bt8) and is
-# only compile-feasible with the fori chunk loop (fused_model_buf.for_chunks
-# couples its default to this mode: unrolled scatter chunks time out Mosaic
-# compile at bt8, while taps+fori exceeds scoped VMEM).
+#   dycol   — 3 dots (one per dy) on SUBLANE-ALIGNED h-shifted slices of the
+#             h-padded input, each (m, Cb)@(Cb, 3G) packing the dx taps into
+#             lanes, then only 3 dx-shifted G-wide adds. Kills the scatter
+#             epilogue's (m, 9G) downcast + 9G-lane pad copy and 6 of the 9
+#             misaligned tap adds (the r4 ablation priced that epilogue at
+#             ~25 ms of the 84.65 ms batch).
+# dycol is the r5 default (measured vs scatter at K8-bt8, PARITY.md r5);
+# scatter stays as the int8 path's form. The chunk-loop form is coupled to
+# the conv mode (fused_model_buf.for_chunks): unrolled scatter/dycol chunks
+# time out Mosaic compile at bt8, while taps+fori exceeds scoped VMEM.
 _CONV3X3_MODE = os.environ.get(
     "CUNET_KERNEL_CONV3X3",
     "onedot" if os.environ.get("CUNET_KERNEL_CONV3X3_ONEDOT", "0") == "1"
-    else "scatter",
+    else "dycol",
 )
 
 
@@ -49,9 +55,21 @@ def pack_w3_scatter(w3):
     return jnp.transpose(w3, (2, 0, 1, 3)).reshape(w3.shape[2], 9 * w3.shape[3])
 
 
+def pack_w3_dycol(w3):
+    """HWIO (3,3,Cb,G) -> (3, Cb, 3G): per dy, the 3 dx taps side by side in
+    lanes (dx-major columns), packed HOST-side."""
+    return jnp.stack(
+        [jnp.concatenate([w3[dy, dx] for dx in range(3)], axis=-1)
+         for dy in range(3)])
+
+
 def pack_w3(w3):
     """Pack a 3x3 conv weight for the active in-kernel conv mode."""
-    return pack_w3_scatter(w3) if _CONV3X3_MODE == "scatter" else w3
+    if _CONV3X3_MODE == "scatter":
+        return pack_w3_scatter(w3)
+    if _CONV3X3_MODE == "dycol":
+        return pack_w3_dycol(w3)
+    return w3
 
 
 def _conv3x3(y2, w3, b, h, w, mode=None):
@@ -62,9 +80,54 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
     mode = mode or _CONV3X3_MODE
     if w3.ndim == 2:
         mode = "scatter"
+    elif w3.ndim == 3:
+        mode = "dycol"
     cb = y2.shape[-1]
     m = b * h * w
     dn = (((1,), (0,)), ((), ()))
+    if mode == "dycol":
+        # out = sum_dy slice_dy(ypad) @ W[dy] (Cb, 3G), then gather dx with
+        # 3 shifted G-wide adds. The h-pad makes the per-dy input slices
+        # whole-h0-row offsets (dy*w flat rows — sublane-aligned at the
+        # model's resolutions), so the sliced dots need no relayout copy.
+        assert w3.ndim == 3, "dycol mode needs the host-packed (3, Cb, 3G) weight"
+        cout = w3.shape[-1] // 3
+        if _DYCOL_PAD == "w":
+            # plan A: pad w to _DYCOL_WP lanes-of-rows too, so the dx
+            # windows slice the dot output directly (no second pad), at the
+            # cost of wp/w extra dot rows.
+            wp = _DYCOL_WP
+            ypad = jnp.pad(y2.reshape(b, h, w, cb),
+                           ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+            mr = b * h * wp
+            S = None
+            for dy in range(3):
+                td = jax.lax.dot_general(
+                    ypad[:, dy:dy + h].reshape(mr, cb),
+                    w3[dy].astype(y2.dtype), dn,
+                    preferred_element_type=jnp.float32)
+                S = td if S is None else S + td
+            S4 = S.reshape(b, h, wp, 3 * cout)
+        else:
+            # plan B (default): pad h only — the dots run on exactly m rows
+            # — and pad the (m, 3G) dy-sum in w for the dx windows.
+            ypad = jnp.pad(y2.reshape(b, h, w, cb),
+                           ((0, 0), (1, 1), (0, 0), (0, 0)))
+            S = None
+            for dy in range(3):
+                td = jax.lax.dot_general(
+                    ypad[:, dy:dy + h].reshape(m, cb),
+                    w3[dy].astype(y2.dtype), dn,
+                    preferred_element_type=jnp.float32)
+                S = td if S is None else S + td
+            if "scatteradd" in _ABLATE:  # keep the dots, drop the dx gather
+                return S[:, :cout]
+            S4 = jnp.pad(S.reshape(b, h, w, 3 * cout),
+                         ((0, 0), (0, 0), (1, 1), (0, 0)))
+        acc = S4[:, :, 0:w, 0:cout]
+        for dx in (1, 2):
+            acc = acc + S4[:, :, dx:dx + w, dx * cout:(dx + 1) * cout]
+        return acc.reshape(m, cout)
     if mode == "scatter":
         # t[p, (dy,dx)*G:c] = y2[p] @ w3[dy,dx]; out[o] = sum_d t[o+d-1, d]
         assert w3.ndim == 2, "scatter mode needs the host-packed (Cb, 9G) weight"
@@ -200,7 +263,7 @@ def _block_stage(x_cat, wset, h, w, dtype, b=1):
         # _hg_wset), so this stage is add+relu only; row 0 is all-ones.
         y2 = jnp.maximum(yb + wset["vec2"][1, :].astype(yb.dtype),
                          0.0).astype(dtype)
-    g = wset["w3"].shape[-1] // (9 if wset["w3"].ndim == 2 else 1)
+    g = wset["w3"].shape[-1] // {2: 9, 3: 3}.get(wset["w3"].ndim, 1)
     if "conv" in _ABLATE:
         out32 = y2[:, :g]
     else:
@@ -237,6 +300,8 @@ _TAPS_F32 = os.environ.get("CUNET_TAPS_F32", "0") == "1"
 _TAPS_ACC = os.environ.get("CUNET_TAPS_ACC", "f32")
 _SCATTER_ADD = os.environ.get("CUNET_SCATTER_ADD", "flat9")
 _SCATTER_PAD = os.environ.get("CUNET_SCATTER_PAD", "post")
+_DYCOL_PAD = os.environ.get("CUNET_DYCOL_PAD", "s")
+_DYCOL_WP = int(os.environ.get("CUNET_DYCOL_WP", "72"))
 
 
 def _maxpool2(x, h, w, b=1):

@@ -36,9 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import cunet_tpu.kernels.fused_hourglass as _fh
 from cunet_tpu.kernels.fused_hourglass import (
     _ABLATE,
-    _CONV3X3_MODE,
     _bottleneck_val,
     _conv3x3,
     _maxpool2,
@@ -178,8 +178,12 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
         pair is the r4-measured record (3345 img/s). Taps mode keeps the
         unrolled chunks (measured ~1.5% faster than fori at bt=4; Mosaic
         pipelines across the unrolled copies, and taps+fori exceeds scoped
-        VMEM at bt=8). CUNET_CHUNK_LOOP={fori,unroll} overrides."""
-        default_loop = "fori" if _CONV3X3_MODE == "scatter" else "unroll"
+        VMEM at bt=8). CUNET_CHUNK_LOOP={fori,unroll} overrides. The mode is
+        read off the live module attribute (not the import-time value) so a
+        runtime override of fused_hourglass._CONV3X3_MODE keeps the loop
+        form coupled to the conv mode it will actually run."""
+        default_loop = ("fori" if _fh._CONV3X3_MODE in ("scatter", "dycol")
+                        else "unroll")
         if n <= 1 or os.environ.get("CUNET_CHUNK_LOOP", default_loop) != "fori":
             for u in range(n):
                 body(u)

@@ -30,24 +30,29 @@ run() {  # run <name> <timeout_s> <cmd...>
 }
 
 export CUNET_CHUNK_LOOP=fori CUNET_KERNEL_CONV3X3=scatter
-# batch-tile scaling under fori
-CUNET_TERA_BATCH_TILE=4 run scatf_bt4 900 python tools/ablate_infer.py none
+# batch-tile scaling under fori. Per-leg env goes through `env` (not the
+# bash-only prefix-on-a-function form, which leaks the assignment into the
+# caller's environment under POSIX sh semantics).
+run scatf_bt4 900 env CUNET_TERA_BATCH_TILE=4 python tools/ablate_infer.py none
 # VPU-byte cuts on the winner
-CUNET_TAPS_ACC=bf16           run scatf_bf16acc 900 python tools/ablate_infer.py none
-CUNET_KERNEL_BF16_PROLOGUE=1  run scatf_b16p    900 python tools/ablate_infer.py none
+run scatf_bf16acc 900 env CUNET_TAPS_ACC=bf16 python tools/ablate_infer.py none
+run scatf_b16p 900 env CUNET_KERNEL_BF16_PROLOGUE=1 python tools/ablate_infer.py none
 # pre-pad retry where it might fit (bt4 halves resident activations;
 # chunk 2048 halves the transient)
-CUNET_SCATTER_PAD=pre CUNET_TERA_BATCH_TILE=4 \
-  run scatf_pre_bt4 900 python tools/ablate_infer.py none
-CUNET_SCATTER_PAD=pre CUNET_TERA_CHUNK_ROWS=2048 \
-  run scatf_pre_cr2k 900 python tools/ablate_infer.py none
+run scatf_pre_bt4 900 env CUNET_SCATTER_PAD=pre CUNET_TERA_BATCH_TILE=4 \
+  python tools/ablate_infer.py none
+run scatf_pre_cr2k 900 env CUNET_SCATTER_PAD=pre CUNET_TERA_CHUNK_ROWS=2048 \
+  python tools/ablate_infer.py none
 # K=16 flagship (bt4 fit measured in r4a at 1675 with tree2; try flat9)
-CUNET_TERA_BATCH_TILE=4 run k16_scatf 900 python tools/ablate_infer.py none 16
+run k16_scatf 900 env CUNET_TERA_BATCH_TILE=4 python tools/ablate_infer.py none 16
 # stage decomposition at the WINNER config for the pass model
 for a in pools affine fifo headdma scatteradd; do
   run "ab4_$a" 900 python tools/ablate_infer.py "$a"
 done
 unset CUNET_KERNEL_CONV3X3 CUNET_CHUNK_LOOP
-# quant W1/I8/G8 training through the now-default unrolled slots
-run qt_unroll2 1500 python bench.py --quant_train
+# quant W1/I8/G8 training through the r4-shipped UNROLLED slots. Pinned
+# explicitly: after the scatter+fori default flip (commit c045655) a bare
+# env would resolve to a different config than this leg's recorded numbers.
+run qt_unroll2 1500 env CUNET_KERNEL_CONV3X3=taps CUNET_CHUNK_LOOP=unroll \
+  python bench.py --quant_train
 echo "r4d sweep complete: $OUT"

@@ -22,14 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-4 floors (VERDICT r3 #9): fail the gate below these. Records:
-# headline K=8 tera eval 3005 img/s (r3), train UNROLLED (the r4 shipped
-# config) 480, K=16 tera eval 1588 (r3). The axon relay varies ~10% day to
-# day, so floors sit ~10% under the record band bottom — a 10%+ regression
-# of any driver-recorded metric fails the gate.
-MIN_TRAIN_IMGS_PER_SEC = 430.0   # r4 unrolled record 477-480
-MIN_EVAL16_IMGS_PER_SEC = 1450.0
-MIN_EVAL8_IMGS_PER_SEC = 2700.0
+# Round-5 floors (VERDICT r4 #5): fail the gate below these. Driver records
+# (BENCH_r04.json): headline K=8 tera eval 3364 img/s, train UNROLLED 486,
+# K=16 tera eval 1651. The axon relay varies ~10% day to day, so floors sit
+# ~10% under the record band bottom — a 10%+ regression of any
+# driver-recorded metric fails the gate.
+MIN_TRAIN_IMGS_PER_SEC = 435.0    # r4 driver record 486
+MIN_EVAL16_IMGS_PER_SEC = 1480.0  # r4 driver record 1651
+MIN_EVAL8_IMGS_PER_SEC = 3000.0   # r4 driver record 3364
+MIN_DROPTRAIN_IMGS_PER_SEC = 270.0  # r4 record 305.7 (threefry in-kernel masks)
 
 
 def _fetch(x) -> float:
@@ -38,7 +39,8 @@ def _fetch(x) -> float:
     return float(np.asarray(x, np.float32).ravel()[0])
 
 
-def smoke_train_k8() -> float:
+def smoke_train_k8(drop: float = 0.0,
+                   floor: float = MIN_TRAIN_IMGS_PER_SEC) -> float:
     from cunet_tpu.config import ModelConfig, TrainConfig
     from cunet_tpu.models import init_cu_net
     from cunet_tpu.train import create_train_state, make_optimizer, train_step
@@ -56,7 +58,8 @@ def smoke_train_k8() -> float:
         pass
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
                       compute_dtype="bfloat16", remat="none", use_scan=False,
-                      use_pallas=True, bn_tile=2, bn_dtype="compute")
+                      use_pallas=True, bn_tile=2, bn_dtype="compute",
+                      drop_rate=drop)
     bs = 24
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     tx = make_optimizer(TrainConfig(lr=2.5e-4, batch_size=bs))
@@ -68,8 +71,10 @@ def smoke_train_k8() -> float:
     }
     # donate the state like the shipped bench config — without donation the
     # param/opt update pays an extra HBM copy (~15% at bs24: 406 vs 480)
-    step = jax.jit(lambda s, b: train_step(s, b, cfg=cfg, tx=tx),
-                   donate_argnums=0)
+    drop_rng = jax.random.PRNGKey(11) if drop > 0 else None
+    step = jax.jit(
+        lambda s, b: train_step(s, b, cfg=cfg, tx=tx, rng=drop_rng),
+        donate_argnums=0)
     state, m = step(state, batch)  # compile + step 1
     first = _fetch(m["loss"])
     assert np.isfinite(first), f"non-finite loss at step 1: {first}"
@@ -84,9 +89,10 @@ def smoke_train_k8() -> float:
     # the kernels must LEARN, not just run: r2 record 3.07 -> 1.36 in 10 steps
     assert last < first, f"loss not decreasing over 10 steps: {first} -> {last}"
     ips = bs / dt
-    print(f"train K=8 @256 bs24: {ips:.1f} img/s (loss {first:.4f} -> {last:.4f})")
-    assert ips >= MIN_TRAIN_IMGS_PER_SEC, (
-        f"train throughput regressed: {ips:.1f} < {MIN_TRAIN_IMGS_PER_SEC}")
+    tag = f" drop={drop:g}" if drop > 0 else ""
+    print(f"train K=8 @256 bs24{tag}: {ips:.1f} img/s "
+          f"(loss {first:.4f} -> {last:.4f})")
+    assert ips >= floor, f"train{tag} throughput regressed: {ips:.1f} < {floor}"
     return ips
 
 
@@ -248,6 +254,7 @@ def main() -> int:
         print("TPU_SMOKE_PARITY_PASS")
         return 0
     smoke_train_k8()
+    smoke_train_k8(drop=0.2, floor=MIN_DROPTRAIN_IMGS_PER_SEC)
     smoke_eval_k8_tera()
     smoke_eval_k16_tera()
     print("TPU_SMOKE_PASS")

@@ -255,9 +255,11 @@ if __name__ == "__main__":
     if "--train" in sys.argv:
         bench_train()
     elif "--dropout_train" in sys.argv:  # dense-layer dropout in-kernel
-        # rbg PRNG for the mask stream (measured 457 vs 306 img/s: threefry
-        # generation of ~67M mask samples/step costs ~22 ms on v5e)
-        if os.environ.get("CUNET_DROP_PRNG", "rbg") == "rbg":
+        # default drop_impl="prng": masks are generated INSIDE the kernels
+        # (ops/dropmask.py) — no HBM mask stream and no host threefry cost,
+        # so no global PRNG-impl switch is needed. CUNET_DROP_PRNG=rbg
+        # restores the r4 workaround for the legacy masks mode.
+        if os.environ.get("CUNET_DROP_PRNG", "") == "rbg":
             jax.config.update("jax_default_prng_impl", "rbg")
         bench_train(drop=0.2)
     elif "--quant_train" in sys.argv:  # WAGE W1/I8/G8 fused-kernel training

@@ -69,6 +69,15 @@ class ModelConfig:
     init_chan_num: int = 128
     num_blocks: int = 4         # down/up steps per hourglass (ref:models/cu_net.py:232)
     drop_rate: float = 0.0
+    drop_impl: str = "prng"     # dropout mask source when drop_rate > 0:
+                                # "prng"  — in-kernel counter-hash masks
+                                #           (ops/dropmask.py): no HBM mask
+                                #           stream, no host threefry cost;
+                                #           fused and lax paths generate
+                                #           identical bits
+                                # "masks" — host-precomputed threefry masks
+                                #           threaded as kernel inputs (the
+                                #           r4 path; exact lax fold_in chain)
     # --- TPU-specific knobs (no reference counterpart) ---
     compute_dtype: str = "float32"   # "bfloat16" for MXU throughput
     param_dtype: str = "float32"
@@ -107,6 +116,8 @@ class ModelConfig:
             raise ValueError(f"unknown conv3x3_impl: {self.conv3x3_impl}")
         if self.bn_dtype not in ("float32", "compute"):
             raise ValueError(f"unknown bn_dtype: {self.bn_dtype}")
+        if self.drop_impl not in ("prng", "masks"):
+            raise ValueError(f"unknown drop_impl: {self.drop_impl}")
         loss_anchors(self.layer_num, self.loss_num)  # validate
 
     @property

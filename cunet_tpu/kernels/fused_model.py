@@ -396,8 +396,14 @@ def default_batch_tile(n: int, h0: int, layer_num: int) -> int:
             raise ValueError(f"batch {n} not divisible by batch tile {bt}")
         return bt
     if layer_num > 8 and h0 >= 64:
-        # K=16 keeps ~2x the resident weights; large tiles exceed v5e VMEM
-        return 2 if n % 2 == 0 else 1
+        # K=16 keeps ~2x the resident weights, so its tile budget is lower
+        # than K=8's. bt4 fits since the heads/stem moved to HBM DMA and the
+        # dycol conv shrank the high-res transients; r5 sweep: 1969.6 img/s
+        # at bt4 vs 1935.8 at bt8 vs 1937.6 at the old bt2 default
+        for cand in (4, 2):
+            if n % cand == 0:
+                return cand
+        return 1
     # bt=8 fits v5e since the out heads + stem moved to HBM DMA and the
     # high-res stages chunk to CUNET_TERA_CHUNK_ROWS (fused_model_buf):
     # measured 3005 img/s at bt8 vs 2804 at bt2 (K=8 @256)

@@ -45,6 +45,7 @@ from cunet_tpu.kernels.fused_hourglass import (
     _maxpool2,
     _upsample2,
 )
+from cunet_tpu.ops import dropmask
 from cunet_tpu.ops.layers import BN_EPS
 
 # ---------------------------------------------------------------------------
@@ -91,11 +92,17 @@ def _read_wset(nxt, skip):
 
 
 def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0,
-              drop: bool = False) -> Dict:
+              drop=False, drop_rate: float = 0.0) -> Dict:
     """Static kernel metadata for slot ``slot_i`` (None = steady state).
-    ``drop`` = precomputed dropout masks are threaded as extra per-position
-    kernel inputs (the reference trains with optional dense-layer dropout
-    while keeping its memory-efficient runtime, ref:models/cu_net.py:63-64)."""
+    ``drop`` selects the dense-layer dropout source (the reference trains
+    with optional dropout while keeping its memory-efficient runtime,
+    ref:models/cu_net.py:63-64):
+      False    — no dropout
+      "masks"  — precomputed scaled masks threaded as extra per-position
+                 kernel inputs (True normalizes to this, r4 back-compat)
+      "seed"   — IN-KERNEL counter-hash masks (ops/dropmask.py) from one
+                 int32 seed input; the recompute-backward kernels
+                 regenerate identical bits (needs ``drop_rate``)"""
     L = cfg.order if slot_i is None else min(slot_i, cfg.order)
     has_inter = slot_i is None or slot_i > 0
     return dict(
@@ -109,7 +116,8 @@ def make_meta(cfg, slot_i: int, bt: int, bits_i: int = 0,
         dtype=jnp.dtype(cfg.compute_dtype),
         eps=BN_EPS,
         bits_i=bits_i,
-        drop=drop,
+        drop="masks" if drop is True else drop,
+        drop_rate=drop_rate,
     )
 
 
@@ -212,6 +220,16 @@ def _ste_mask(d, x):
     return jnp.where((x32 > -1.0) & (x32 < 1.0), d, 0.0)
 
 
+def _seed_mask(meta, seed, pos: int, hh: int):
+    """In-kernel scaled dropout mask for traversal position ``pos`` at
+    resolution ``hh`` (drop == "seed"). The mask depends only on
+    (seed, pos, grid step, element index), so the fwd kernel and both
+    backward kernels regenerate identical bits with no saved state."""
+    return dropmask.tile_mask(
+        seed, pos, pl.program_id(0), meta["bt"] * hh * hh, meta["growth"],
+        meta["drop_rate"], meta["dtype"])
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -233,6 +251,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         v = ref[...]
         return v.reshape(bt * v.shape[1] * v.shape[2], v.shape[3])
 
+    seed = nxt()[0] if meta.get("drop") == "seed" else None
     y = flat(nxt())  # (bt*h0*h0, c)
 
     stat_writes: List = []
@@ -279,12 +298,21 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
     pooled_vals: List = []   # inputs of down 1..nb-1 and the neck
     up_pre_vals: List = []   # inputs of up blocks, pre-upsample
     drop = meta.get("drop", False)
-    rd_mask = lambda: flat(nxt()) if drop else None
+    _mask_pos = [0]
+
+    def rd_mask(hh):
+        pos, _mask_pos[0] = _mask_pos[0], _mask_pos[0] + 1
+        if not drop:
+            return None
+        if drop == "seed":
+            return _seed_mask(meta, seed, pos, hh)
+        return flat(nxt())
+
     h = w = h0
     for j in range(nb):
         fifo = [flat(nxt()) for _ in range(L)]
         wset = _read_wset(nxt, True)
-        ahead, skip, o32 = block([y], fifo, wset, h, w, rd_mask())
+        ahead, skip, o32 = block([y], fifo, wset, h, w, rd_mask(h))
         out32_vals.append((o32, h))
         skips.append((skip, h))
         y = _maxpool2(ahead, h, w, bt)
@@ -292,7 +320,7 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         pooled_vals.append((y, h))
     fifo = [flat(nxt()) for _ in range(L)]
     wset = _read_wset(nxt, False)
-    ahead, _, o32 = block([y], fifo, wset, h, w, rd_mask())
+    ahead, _, o32 = block([y], fifo, wset, h, w, rd_mask(h))
     out32_vals.append((o32, h))
     y = ahead
     for idx, j in enumerate(reversed(range(nb))):
@@ -301,7 +329,8 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         h, w = h * 2, w * 2
         fifo = [flat(nxt()) for _ in range(L)]
         wset = _read_wset(nxt, False)
-        ahead, _, o32 = block([up, skips[j][0]], fifo, wset, h, w, rd_mask())
+        ahead, _, o32 = block([up, skips[j][0]], fifo, wset, h, w,
+                              rd_mask(h))
         out32_vals.append((o32, h))
         y = ahead
 
@@ -337,7 +366,8 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
 
 def _marshal_inputs(meta, y, inter_fifo, fifos, W, masks=None):
     """Argument list + in_specs shared by the fwd and bwd pallas calls.
-    ``masks`` = per-position scaled dropout masks (meta["drop"])."""
+    ``masks`` = per-position scaled dropout masks (drop == "masks") or the
+    (1,) int32 seed array (drop == "seed", marshaled FIRST into SMEM)."""
     nb = meta["num_blocks"]
     L = meta["L"]
     has_inter = meta["has_inter"]
@@ -353,8 +383,13 @@ def _marshal_inputs(meta, y, inter_fifo, fifos, W, masks=None):
         return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape),
                             memory_space=pltpu.VMEM)
 
-    args: List = [y.astype(dtype)]
-    specs: List = [xspec(y)]
+    args: List = []
+    specs: List = []
+    if meta.get("drop") == "seed":
+        args.append(masks[0])
+        specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    args.append(y.astype(dtype))
+    specs.append(xspec(y))
 
     def add(a, spec):
         args.append(a)
@@ -375,7 +410,7 @@ def _marshal_inputs(meta, y, inter_fifo, fifos, W, masks=None):
         ):
             a = wset[k]
             add(a.astype(jnp.float32 if k.startswith("bn") else dtype), full)
-        if meta.get("drop"):
+        if meta.get("drop") == "masks":
             add(masks[pos].astype(dtype), xspec)
     bn, wgt = W["head"]
     add(bn.astype(jnp.float32), full)
@@ -852,15 +887,21 @@ def _flat_reader(meta):
     return flat
 
 
-def _read_up_ins(meta, nxt, flat):
-    """Part-A (head + up blocks) input reads, in marshal order."""
+def _read_up_ins(meta, nxt, flat, seed=None):
+    """Part-A (head + up blocks) input reads, in marshal order. ``seed`` =
+    the pre-read drop seed scalar in "seed" mode (masks are regenerated
+    in-kernel with the forward's exact bits)."""
     nb, L = meta["num_blocks"], meta["L"]
+    plan = meta["plan"]
     U = list(range(nb + 1, 2 * nb + 1))
     fifo_vals, wsets, masks = {}, {}, {}
     for pos in U:
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, False)
-        masks[pos] = flat(nxt()) if meta.get("drop") else None
+        if meta.get("drop") == "seed":
+            masks[pos] = _seed_mask(meta, seed, pos, plan[pos]["res"])
+        else:
+            masks[pos] = flat(nxt()) if meta.get("drop") else None
     I = dict(fifo_vals=fifo_vals, wsets=wsets, masks=masks)
     I["bn_h"], I["w_h"] = nxt()[...], nxt()[...]
     I["up_pre"] = [flat(nxt()) for _ in range(nb)]
@@ -945,7 +986,8 @@ def _slot_bwd_up_kernel(meta, *refs):
     nxt = lambda: next(it)
     flat = _flat_reader(meta)
 
-    U, I = _read_up_ins(meta, nxt, flat)
+    seed = nxt()[0] if meta.get("drop") == "seed" else None
+    U, I = _read_up_ins(meta, nxt, flat, seed=seed)
     d_y_low_ref = nxt()
     d_skip_refs = [nxt() for _ in range(nb)]
     d_fifo_refs, dW_refs, dW_head = _read_up_outs(meta, nxt)
@@ -959,10 +1001,11 @@ def _slot_bwd_up_kernel(meta, *refs):
     d_y_low_ref[...] = d_y_low.reshape(bt, r, r, c)
 
 
-def _read_down_ins(meta, nxt, flat, with_d=True):
+def _read_down_ins(meta, nxt, flat, with_d=True, seed=None):
     """Part-B (neck + down + intermedia) input reads, in marshal order.
     ``with_d=False`` (merged single-launch mode) skips the d_y_low /
-    d_skips inputs — they arrive as values from _run_up."""
+    d_skips inputs — they arrive as values from _run_up. ``seed`` = the
+    pre-read drop seed scalar in "seed" mode."""
     nb, L = meta["num_blocks"], meta["L"]
     has_inter = meta["has_inter"]
     plan = meta["plan"]
@@ -977,7 +1020,10 @@ def _read_down_ins(meta, nxt, flat, with_d=True):
     for pos in D:
         fifo_vals[pos] = [flat(nxt()) for _ in range(L)]
         wsets[pos] = _read_wset(nxt, plan[pos]["skip"])
-        masks[pos] = flat(nxt()) if meta.get("drop") else None
+        if meta.get("drop") == "seed":
+            masks[pos] = _seed_mask(meta, seed, pos, plan[pos]["res"])
+        else:
+            masks[pos] = flat(nxt()) if meta.get("drop") else None
     I["fifo_vals"], I["wsets"], I["masks"] = fifo_vals, wsets, masks
     I["pooled"] = [flat(nxt()) for _ in range(nb)]
     I["out32_vals"] = {pos: flat(nxt()) for pos in D}
@@ -1107,7 +1153,8 @@ def _slot_bwd_down_kernel(meta, *refs):
     it = iter(refs)
     nxt = lambda: next(it)
     flat = _flat_reader(meta)
-    D, I = _read_down_ins(meta, nxt, flat, with_d=True)
+    seed = nxt()[0] if meta.get("drop") == "seed" else None
+    D, I = _read_down_ins(meta, nxt, flat, with_d=True, seed=seed)
     O = _read_down_outs(meta, nxt)
     acc = _mk_acc()
     _run_down(meta, D, I, O, I["d_y_low"], I["d_skips"], acc)
@@ -1123,8 +1170,10 @@ def _slot_bwd_single_kernel(meta, *refs):
     it = iter(refs)
     nxt = lambda: next(it)
     flat = _flat_reader(meta)
-    U, IU = _read_up_ins(meta, nxt, flat)
-    D, ID = _read_down_ins(meta, nxt, flat, with_d=False)
+    seed_u = nxt()[0] if meta.get("drop") == "seed" else None
+    U, IU = _read_up_ins(meta, nxt, flat, seed=seed_u)
+    seed_d = nxt()[0] if meta.get("drop") == "seed" else None
+    D, ID = _read_down_ins(meta, nxt, flat, with_d=False, seed=seed_d)
     d_fifo_refs_u, dW_refs_u, dW_head = _read_up_outs(meta, nxt)
     OD = _read_down_outs(meta, nxt)
     acc = _mk_acc()
@@ -1212,12 +1261,17 @@ def slot_train_bwd(
             self.args.append(a)
             self.specs.append(spec(a))
 
+        def add_seed(self):
+            if meta.get("drop") == "seed":
+                self.add(masks[0],
+                         lambda a: pl.BlockSpec(memory_space=pltpu.SMEM))
+
         def add_wset(self, pos):
             for k in _wset_keys(plan[pos]["skip"]):
                 a = W["blocks"][pos][k]
                 self.add(a.astype(jnp.float32 if k.startswith("bn")
                                   else dtype), full)
-            if meta.get("drop"):
+            if meta.get("drop") == "masks":
                 self.add(masks[pos].astype(dtype), xspec)
 
         def out_tiled(self, hh, ch, dt=None):
@@ -1236,6 +1290,7 @@ def slot_train_bwd(
     # ======== part A: head + up blocks ========
     U = list(range(nb + 1, 2 * nb + 1))
     A = M()
+    A.add_seed()
     for pos in U:
         for f in fifos[pos]:
             A.add(f.astype(dtype), xspec)
@@ -1302,6 +1357,7 @@ def slot_train_bwd(
     # ======== part B: neck + down blocks + intermedia ========
     D = list(range(nb + 1))
     B = M()
+    B.add_seed()
     B.add(y.astype(dtype), xspec)
     if has_inter:
         for f in inter_fifo:
@@ -1387,7 +1443,7 @@ def slot_train_bwd(
 
 @functools.lru_cache(maxsize=None)
 def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
-                  bits_i=0, conv_chunk=None, drop=False):
+                  bits_i=0, conv_chunk=None, drop=False, drop_rate=0.0):
     # conv_chunk is the _TRAIN_CONV_CHUNK budget at call time; it is read by
     # the kernel body at trace time via the module global, and it is part of
     # this cache key purely so an env/monkeypatch override can never reuse a
@@ -1395,7 +1451,7 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
     meta = finalize_meta(
         dict(num_blocks=nb, L=L, has_inter=has_inter, bt=bt, chan=c,
              growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS,
-             bits_i=bits_i, drop=drop),
+             bits_i=bits_i, drop=drop, drop_rate=drop_rate),
         h0,
     )
 
@@ -1435,8 +1491,14 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
             (d_y_out, d_head, d_inter_out, list(d_out32s)),
             meta=meta, interpret=interpret, masks=list(masks) or None,
         )
-        # masks are constants of the step (zero cotangent)
-        d_masks = tuple(jnp.zeros_like(m) for m in masks)
+        # masks are constants of the step (zero cotangent); the "seed" mode
+        # entry is an int32 array, whose tangent type is float0
+        import numpy as np
+
+        d_masks = tuple(
+            np.zeros(m.shape, dtype=jax.dtypes.float0)
+            if jnp.issubdtype(m.dtype, jnp.integer) else jnp.zeros_like(m)
+            for m in masks)
         return d_y.astype(y.dtype), d_if, d_f, dW, d_masks
 
     f.defvjp(fwd, bwd)
@@ -1444,7 +1506,7 @@ def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
 
 
 def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
-                     interpret=False, bits_i=0, masks=None):
+                     interpret=False, bits_i=0, masks=None, drop_seed=None):
     """Whole-slot fused train forward with custom-VJP backward.
 
     Returns (y_out, head, inter_out|None, out32s tuple, stats tuple) where
@@ -1455,20 +1517,34 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
     happens OUTSIDE via ``quant.transforms.quantize_params`` (the kernels
     receive the already-fake-quantized weights and their custom VJP feeds
     the XNOR/STE weight backward automatically).
-    ``masks`` = per-position precomputed scaled dropout masks (dense-layer
-    dropout, ref:models/cu_net.py:63-64): (n, res, res, growth) arrays with
-    values {0, 1/keep}, applied to each 3x3 conv output inside the kernels.
+    Dense-layer dropout (ref:models/cu_net.py:63-64) comes in two forms:
+    ``masks`` = per-position precomputed scaled masks ((n, res, res, growth)
+    arrays with values {0, 1/keep}) threaded as kernel inputs; OR
+    ``drop_seed`` = a (1,) int32 seed — masks are generated IN-KERNEL by the
+    counter-hash PRNG (ops/dropmask.py) and regenerated bit-identically by
+    the recompute-backward kernels (no HBM mask stream).
     """
+    assert masks is None or drop_seed is None, \
+        "pass precomputed masks OR an in-kernel drop seed, not both"
     h0 = y.shape[1]
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # Mosaic only targets TPU; CPU runs interpret mode
+    drop = "seed" if drop_seed is not None else (
+        "masks" if masks is not None else False)
     fn = _make_slot_fn(
         cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
         cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),
-        interpret, int(bits_i), _TRAIN_CONV_CHUNK, masks is not None,
+        interpret, int(bits_i), _TRAIN_CONV_CHUNK, drop,
+        float(cfg.drop_rate) if drop == "seed" else 0.0,
     )
+    if drop == "seed":
+        mask_args = (jnp.asarray(drop_seed, jnp.int32).reshape(1),)
+    elif drop == "masks":
+        mask_args = tuple(masks)
+    else:
+        mask_args = ()
     outs = fn(y, tuple(inter_fifo), tuple(tuple(f) for f in fifos), W,
-              tuple(masks) if masks is not None else ())
+              mask_args)
     if has_inter:
         y_out, head, inter_out, out32s, stats = outs
     else:

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from cunet_tpu.config import ModelConfig
+from cunet_tpu.ops import dropmask
 from cunet_tpu.ops import (
     batch_norm,
     conv2d,
@@ -346,18 +347,48 @@ def _apply_dense_layer(
         y, new_state = inner(params, state, list(feats))
     if cfg.drop_rate > 0 and train:
         assert rng is not None, "drop_rate > 0 requires an rng"
-        y = y * _dropout_mask(rng, y.shape, cfg.drop_rate, y.dtype)
+        y = y * _dropout_mask(rng, y.shape, cfg.drop_rate, y.dtype,
+                              cfg.bn_tile)
     return y, new_state
 
 
-def _dropout_mask(rng, shape, rate, dtype):
+def _dropout_mask(rng, shape, rate, dtype, bn_tile=0):
     """Scaled dropout mask with values {0, 1/keep} in the compute dtype
     (torch F.dropout multiply semantics, ref:models/cu_net.py:63-64). The
     SAME helper feeds the lax path and the fused train kernels' mask inputs,
-    so fused-vs-lax grad parity holds bit-for-bit under dropout."""
+    so fused-vs-lax grad parity holds bit-for-bit under dropout.
+
+    ``rng`` is either a JAX PRNG key (drop_impl="masks": threefry bernoulli)
+    or a ``("prng", seed, pos)`` handle (drop_impl="prng"): the mask comes
+    from the counter-hash generator the fused kernels run in-kernel
+    (ops/dropmask.py), reproduced here tile-by-tile (``bn_tile`` = the
+    kernels' grid tile) so fused and lax stay bit-identical."""
+    if isinstance(rng, tuple) and rng[0] == "prng":
+        return dropmask.batch_mask(rng[1], rng[2], shape, bn_tile, rate,
+                                   dtype)
     keep = 1.0 - rate
     m = jax.random.bernoulli(rng, keep, shape)
     return (m.astype(jnp.float32) * (1.0 / keep)).astype(dtype)
+
+
+def _drop_handles(rng, cfg, train):
+    """Per-block dropout rng handles for one slot, keyed the way each path
+    needs: drop_impl="prng" mixes the traversal POSITION into the handle
+    (down j -> j, neck -> nb, up j -> 2nb - j — the fused kernels' indexing);
+    "masks" keeps the reference fold_in chain (j / 100 / 200+j)."""
+    nb = cfg.num_blocks
+    if rng is None or cfg.drop_rate <= 0 or not train:
+        fold = lambda tag, pos: (None if rng is None
+                                 else jax.random.fold_in(rng, tag))
+    elif cfg.drop_impl == "prng":
+        seed = dropmask.derive_seed(rng)
+        fold = lambda tag, pos: ("prng", seed, pos)
+    else:
+        fold = lambda tag, pos: jax.random.fold_in(rng, tag)
+    down = [fold(j, j) for j in range(nb)]
+    neck = fold(100, nb)
+    up = {j: fold(200 + j, 2 * nb - j) for j in range(nb)}
+    return down, neck, up
 
 
 
@@ -459,27 +490,27 @@ def _apply_hourglass(
     """
     new_state = {"down": list(state["down"]), "up": list(state["up"])}
     skips = []
+    r_down, r_neck, r_up = _drop_handles(rng, cfg, train)
     for j in range(cfg.num_blocks):
-        r = None if rng is None else jax.random.fold_in(rng, j)
         (x, skip), fifos["down"][j], patch = _apply_dense_block(
             params["down"][j], state["down"][j], [x], i, fifos["down"][j],
-            cfg=cfg, train=train, requires_skip=True, rng=r, quant=quant,
+            cfg=cfg, train=train, requires_skip=True, rng=r_down[j],
+            quant=quant,
         )
         new_state["down"][j] = _merge_block_patches(state["down"][j], patch)
         skips.append(skip)
         x = max_pool_2x2(x)
-    r = None if rng is None else jax.random.fold_in(rng, 100)
     (x, _), fifos["neck"], patch = _apply_dense_block(
         params["neck"], state["neck"], [x], i, fifos["neck"],
-        cfg=cfg, train=train, requires_skip=False, rng=r, quant=quant,
+        cfg=cfg, train=train, requires_skip=False, rng=r_neck, quant=quant,
     )
     new_state["neck"] = _merge_block_patches(state["neck"], patch)
     for j in reversed(range(cfg.num_blocks)):
         x = upsample_nearest_2x(x)
-        r = None if rng is None else jax.random.fold_in(rng, 200 + j)
         (x, _), fifos["up"][j], patch = _apply_dense_block(
             params["up"][j], state["up"][j], [x, skips[j]], i, fifos["up"][j],
-            cfg=cfg, train=train, requires_skip=False, rng=r, quant=quant,
+            cfg=cfg, train=train, requires_skip=False, rng=r_up[j],
+            quant=quant,
         )
         new_state["up"][j] = _merge_block_patches(state["up"][j], patch)
     return x, new_state, fifos
@@ -1050,23 +1081,29 @@ def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0, rng=None):
     assert y.shape[0] % cfg.bn_tile == 0, (
         f"batch {y.shape[0]} not divisible by bn_tile {cfg.bn_tile}")
 
-    masks = None
+    masks = drop_seed = None
     if cfg.drop_rate > 0:
         assert rng is not None, "drop_rate > 0 requires an rng"
-        n, h0 = y.shape[0], y.shape[1]
-        g = cfg.growth_rate
+        if cfg.drop_impl == "prng":
+            # in-kernel counter-hash masks: the kernels (fwd + recompute
+            # bwd) generate identical bits from this one int32 seed — no
+            # HBM mask stream, no host threefry cost (ops/dropmask.py)
+            drop_seed = dropmask.derive_seed(rng)
+        else:
+            n, h0 = y.shape[0], y.shape[1]
+            g = cfg.growth_rate
 
-        def mk(key, res):
-            return _dropout_mask(key, (n, res, res, g), cfg.drop_rate,
-                                 jnp.dtype(cfg.compute_dtype))
+            def mk(key, res):
+                return _dropout_mask(key, (n, res, res, g), cfg.drop_rate,
+                                     jnp.dtype(cfg.compute_dtype))
 
-        res_of = [h0 // (2 ** j) for j in range(nb + 1)]
-        masks = [mk(jax.random.fold_in(rng, j), res_of[j])
-                 for j in range(nb)]
-        masks.append(mk(jax.random.fold_in(rng, 100), res_of[nb]))
-        for idx, j in enumerate(reversed(range(nb))):
-            masks.append(mk(jax.random.fold_in(rng, 200 + j),
-                            res_of[nb - 1 - idx]))
+            res_of = [h0 // (2 ** j) for j in range(nb + 1)]
+            masks = [mk(jax.random.fold_in(rng, j), res_of[j])
+                     for j in range(nb)]
+            masks.append(mk(jax.random.fold_in(rng, 100), res_of[nb]))
+            for idx, j in enumerate(reversed(range(nb))):
+                masks.append(mk(jax.random.fold_in(rng, 200 + j),
+                                res_of[nb - 1 - idx]))
 
     W = marshal_slot(p, nb)
     if not has_inter:
@@ -1079,6 +1116,7 @@ def _fused_slot_train(p, s, y, f, *, cfg, slot_i=None, bits_i=0, rng=None):
     y_out, hm, inter_out, out32s, stats = fused_slot_train(
         y, list(f["intermedia"]) if has_inter else [], fifos_t, W,
         cfg=cfg, L=L, has_inter=has_inter, bits_i=bits_i, masks=masks,
+        drop_seed=drop_seed,
     )
 
     new_ss = _slot_state_from_stats(s, list(stats), cfg, y.shape[1], has_inter)
@@ -1215,26 +1253,27 @@ def _apply_slots_scanned(
         new_down, new_up = [], []
         f_down, f_up = list(f["down"]), list(f["up"])
         skips = []
+        r_down, r_neck, r_up = _drop_handles(r, cfg, train)
         for j in range(cfg.num_blocks):
-            rj = None if r is None else jax.random.fold_in(r, j)
             (y, skip), f_down[j], s_blk = _scan_block(
                 p["hg"]["down"][j], s["hg"]["down"][j], [y], f_down[j],
-                cfg=cfg, train=train, requires_skip=True, rng=rj, quant=quant,
+                cfg=cfg, train=train, requires_skip=True, rng=r_down[j],
+                quant=quant,
             )
             new_down.append(s_blk)
             skips.append(skip)
             y = max_pool_2x2(y)
-        rj = None if r is None else jax.random.fold_in(r, 100)
         (y, _), f_neck, s_neck = _scan_block(
             p["hg"]["neck"], s["hg"]["neck"], [y], f["neck"],
-            cfg=cfg, train=train, requires_skip=False, rng=rj, quant=quant,
+            cfg=cfg, train=train, requires_skip=False, rng=r_neck,
+            quant=quant,
         )
         for j in reversed(range(cfg.num_blocks)):
             y = upsample_nearest_2x(y)
-            rj = None if r is None else jax.random.fold_in(r, 200 + j)
             (y, _), f_up[j], s_blk = _scan_block(
                 p["hg"]["up"][j], s["hg"]["up"][j], [y, skips[j]], f_up[j],
-                cfg=cfg, train=train, requires_skip=False, rng=rj, quant=quant,
+                cfg=cfg, train=train, requires_skip=False, rng=r_up[j],
+                quant=quant,
             )
             new_up.append(s_blk)
         new_up = list(reversed(new_up))

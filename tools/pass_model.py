@@ -64,8 +64,8 @@ class Model:
         self.chunk_rows = chunk_rows
         self.taps_acc = taps_acc          # "f32" | "bf16"
         self.scatter_add = scatter_add    # "flat9" | "tree2"
-        self.conv_mode = conv_mode        # "scatter" | "taps" (the shipped
-                                          # default — 9 thin N=32 dots)
+        self.conv_mode = conv_mode        # "dycol" (r5 default) | "scatter"
+                                          # | "taps" (9 thin N=32 dots)
         self.c, self.g, self.cb = c, g, cb
         self.order, self.nb, self.h0, self.cls = order, nb, h0, cls
         self.items = {}   # label -> [vpu_ns, mxu_ns, passes]
@@ -109,7 +109,19 @@ class Model:
             # vec2 add+relu on the f32 dot output, cast
             self.add("vec2", m, cb, "relu")
             self.add("vec2", m, cb, "cast")
-            if self.conv_mode == "taps":
+            if self.conv_mode == "dycol":
+                # 3 dy-dots on h-shifted slices of the h-padded input
+                # (kernels/fused_hourglass._conv3x3 plan B): pad h only
+                # (copy), 3 (m, Cb)@(Cb, 3G) dots f32-accumulated (2 adds),
+                # pad the dy-sum in w (copy), 2 dx slice-adds, downcast.
+                self.add("conv_epi", m, cb, "copy")          # h-pad materialize
+                for _ in range(3):
+                    self.dot("conv_dot", m, cb, 3 * g)
+                self.add("conv_epi", m, 3 * g, "add", repeats=2)  # dy-sum
+                self.add("conv_epi", m, 3 * g, "copy")       # w-pad of S
+                self.add("conv_epi", m, g, "add", repeats=2)  # dx gather
+                self.add("conv_epi", m, g, "cast")            # out32 -> bf16
+            elif self.conv_mode == "taps":
                 # 9 thin (m, Cb)@(Cb, G) dots, f32 accumulated in-value:
                 # each pads N=32 -> 128 (4x FLOP inflation), epilogue is
                 # the 9-term f32 accumulate + one downcast; input taps are
@@ -205,6 +217,62 @@ class Model:
         }
 
 
+# Measured TPU legs for --fit (ms per 256-image batch, fresh-process runs:
+# r4 sweep /tmp/r4sweep + r5 sweep /tmp/r5sweep). Keyed by
+# (conv_mode, bt, K). Update when a sweep moves a record.
+FIT_LEGS = {
+    ("dycol", 8, 8): 65.66,
+    ("scatter", 8, 8): 76.51,
+    ("taps", 8, 8): 85.17,
+    ("dycol", 4, 8): 68.48,
+    ("dycol", 8, 16): 132.25,
+}
+
+
+def fit(probe):
+    """Fit (s_vpu, s_mxu, fixed_ns) so s_v*vpu + s_m*mxu + f*passes matches
+    the measured legs (nonneg grid LSQ on minimax rel error).
+
+    Why scales are needed at all: the probe's chain slopes price each op
+    class RELATIVELY (max ~7x a plain ALU op, cast ~5x, broadcast-FMA ~4x),
+    but in-situ the passes overlap with dot issue and pipeline across
+    independent vregs, so absolute in-kernel cost is a fraction of the
+    standalone slope; likewise real MXU efficiency sits below peak. One
+    (s_v, s_m, f) triple reproduces all measured legs — see --fit output."""
+    rows, y = [], []
+    for (conv, bt, k), meas in FIT_LEGS.items():
+        m = Model(probe, bt, int(os.environ.get("CUNET_TERA_CHUNK_ROWS",
+                                                "4096")),
+                  "f32", "flat9", conv_mode=conv)
+        r = m.run(k, 256)
+        rows.append((r["vpu_ms"], r["mxu_ms"], r["passes_per_batch"]))
+        y.append(meas)
+    best = None
+    n = len(rows)
+    for i_v in range(241):
+        s_v = i_v * 1.2 / 240
+        for i_m in range(251):
+            s_m = i_m * 2.5 / 250
+            num = den = 0.0
+            for (v, mx, p), meas in zip(rows, y):
+                num += (meas - s_v * v - s_m * mx) * p
+                den += p * p
+            f = max(0.0, num / den)
+            err = max(abs((s_v * v + s_m * mx + f * p) / meas - 1)
+                      for (v, mx, p), meas in zip(rows, y))
+            if best is None or err < best[0]:
+                best = (err, s_v, s_m, f)
+    err, s_v, s_m, f = best
+    return {
+        "worst_rel_err": round(err, 4),
+        "s_vpu": round(s_v, 3),
+        "s_mxu": round(s_m, 3),
+        "fixed_ns_per_pass_fit": round(f * 1e6, 1),
+        "legs": {f"{c}_bt{bt}_k{k}": meas
+                 for (c, bt, k), meas in FIT_LEGS.items()},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe", help="JSON of probe constants")
@@ -216,7 +284,11 @@ def main():
                                                "4096")))
     ap.add_argument("--taps_acc", default="f32")
     ap.add_argument("--scatter_add", default="flat9")
-    ap.add_argument("--conv", default="scatter", choices=["scatter", "taps"])
+    ap.add_argument("--conv", default="dycol",
+                    choices=["dycol", "scatter", "taps"])
+    ap.add_argument("--fit", action="store_true",
+                    help="fit (s_vpu, s_mxu, fixed) to FIT_LEGS and apply "
+                         "the scales to the per-item report")
     args = ap.parse_args()
 
     probe = dict(PROBE_DEFAULTS)
@@ -227,6 +299,17 @@ def main():
     m = Model(probe, args.bt, args.chunk_rows, args.taps_acc,
               args.scatter_add, conv_mode=args.conv)
     out = m.run(args.k, args.batch)
+    if args.fit:
+        ft = fit(probe)
+        out["fit"] = ft
+        s_v, s_m = ft["s_vpu"], ft["s_mxu"]
+        f = ft["fixed_ns_per_pass_fit"] / 1e6
+        out["fitted_per_item_ms"] = {
+            k: round(s_v * v[0] + s_m * v[1] + f * v[2], 2)
+            for k, v in out["per_item_ms"].items()}
+        out["fitted_total_ms"] = round(
+            s_v * out["vpu_ms"] + s_m * out["mxu_ms"]
+            + f * out["passes_per_batch"], 2)
     json.dump(out, sys.stdout, indent=1)
     print()
 

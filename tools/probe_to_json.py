@@ -29,7 +29,11 @@ import sys
 KIND_MAP = {
     "quad": [("relu", 1.0, 0), ("add", 1.0, 0), ("copy", 1.0, 0),
              ("affine_relu", 2.0, 0)],
-    "quad_max": [("relu", 1.0, 1), ("add", 1.0, 1)],
+    # quad_max prices ONLY relu/max: a plain slice add is a generic
+    # 1-op/cycle ALU op (the quad class, r5 probe 0.05 ns/row), while max
+    # lowers ~7x slower (0.34 ns/row) — pricing adds at the max rate
+    # overcounted the conv epilogues ~7x
+    "quad_max": [("relu", 1.0, 1)],
     "quad_cast2": [("cast", 1.0, 1)],
     "quad_affine_vec": [("affine_relu", 1.0, 1)],  # + relu added below
     # legacy pre-r4 kinds (foldable chains; kept so old logs still parse)
@@ -57,6 +61,10 @@ def main():
         if m:
             kind, lanes, dtype, _, _, ns_row = m.groups()
             if kind not in KIND_MAP or dtype != "float32":
+                continue
+            if float(ns_row) <= 0:
+                # shallow-probe noise (the op hid under the HBM stream);
+                # keep the positive measurement from another width
                 continue
             for cls, scale, p in KIND_MAP[kind]:
                 v = float(ns_row) * scale * 8.0 / math.ceil(int(lanes) / 128)

@@ -30,7 +30,7 @@ import numpy as np
 MIN_TRAIN_IMGS_PER_SEC = 435.0    # r4 driver record 486
 MIN_EVAL16_IMGS_PER_SEC = 1480.0  # r4 driver record 1651
 MIN_EVAL8_IMGS_PER_SEC = 3000.0   # r4 driver record 3364
-MIN_DROPTRAIN_IMGS_PER_SEC = 270.0  # r4 record 305.7 (threefry in-kernel masks)
+MIN_DROPTRAIN_IMGS_PER_SEC = 415.0  # r5 record 461.9 (in-kernel prng masks)
 
 
 def _fetch(x) -> float:

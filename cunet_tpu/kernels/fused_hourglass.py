@@ -124,8 +124,13 @@ def _conv3x3(y2, w3, b, h, w, mode=None):
                 return S[:, :cout]
             S4 = jnp.pad(S.reshape(b, h, w, 3 * cout),
                          ((0, 0), (0, 0), (1, 1), (0, 0)))
-        acc = S4[:, :, 0:w, 0:cout]
-        for dx in (1, 2):
+        # zeros-init accumulator (not the dx=0 slice): a slice-initialized
+        # acc inherits the windowed-slice layout, and downstream CONCATs of
+        # the result (the train kernels' x2 build) fail Mosaic lowering
+        # with "offset mismatch on non-concat dimension"; the inference
+        # kernels are concat-free (buffer writes) but share this code
+        acc = jnp.zeros((b, h, w, cout), jnp.float32)
+        for dx in range(3):
             acc = acc + S4[:, :, dx:dx + w, dx * cout:(dx + 1) * cout]
         return acc.reshape(m, cout)
     if mode == "scatter":

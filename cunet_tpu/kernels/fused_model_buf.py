@@ -187,6 +187,17 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
         if n <= 1 or os.environ.get("CUNET_CHUNK_LOOP", default_loop) != "fori":
             for u in range(n):
                 body(u)
+        elif n % 2 == 0 and os.environ.get("CUNET_CHUNK_PAIR", "0") == "1":
+            # pair mode: two independent image chunks per fori step — their
+            # dots share no data, exposing ILP across the chunk boundary to
+            # the Mosaic scheduler (the kernel is MXU-issue-bound at ~63%
+            # of padded-tile peak, PARITY.md r5). Costs 2x the per-chunk
+            # transients.
+            def _b2(u, carry):
+                body(2 * u)
+                body(2 * u + 1)
+                return carry
+            jax.lax.fori_loop(0, n // 2, _b2, 0)
         else:
             def _b(u, carry):
                 body(u)

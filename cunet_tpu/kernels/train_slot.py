@@ -136,14 +136,17 @@ def marshal_slot(p_slot, num_blocks: int) -> Dict:
     """Kernel weight dict from a ``_slot_subtree`` params view. All ops here
     are differentiable glue (stack/slice/pack), so grads flow back to the
     original param pytree through the custom-VJP'd kernel call."""
-    from cunet_tpu.kernels.fused_hourglass import pack_w3_scatter
+    from cunet_tpu.kernels.fused_hourglass import (pack_w3_dycol,
+                                                   pack_w3_scatter)
+
+    pack = pack_w3_dycol if _TRAIN_CONV_MODE == "dycol" else pack_w3_scatter
 
     def wset(bp):
         d = {
             "bn1": _bn_vec(bp["layers"]["bottleneck"]["norm"]),
             "w_b": bp["layers"]["bottleneck"]["conv"][0, 0],
             "bn2": _bn_vec(bp["layers"]["norm2"]),
-            "w3": pack_w3_scatter(bp["layers"]["conv2"]),
+            "w3": pack(bp["layers"]["conv2"]),
             "bn_a": _bn_vec(bp["adapters_ahead"]["norm"]),
             "w_a": bp["adapters_ahead"]["conv"][0, 0],
         }
@@ -592,6 +595,13 @@ def _stage_bwd(x, bn, w, mu, var, d_out, dtype, eps, bits_i=0):
 
 _CONV_BWD_MODE = os.environ.get("CUNET_CONV_BWD", "catc")
 
+# 3x3 conv form inside the TRAIN kernels (fwd + recompute backward).
+# "dycol" (default, r5): 3 dy-dots on h-shifted slices — kills the scatter
+# form's (m, 9G) tap transient fwd AND shrinks the backward's shifted-
+# cotangent build from 9 canonicalized slices to 3 (see _conv3x3_bwd_dycol).
+# "scatter" restores the r4 form (_CONV_BWD_MODE then applies).
+_TRAIN_CONV_MODE = os.environ.get("CUNET_TRAIN_CONV3X3", "dycol")
+
 # Row budget for the scatter-conv's tap transient inside the TRAIN kernels.
 # The (rows, 9G) fp32 tap matrix (and its padded copy) is the kernels'
 # largest live value: at bn_tile 4 and 64x64 it alone is ~19 MB x2, which is
@@ -621,18 +631,93 @@ def _conv_chunk_imgs(bt: int, h: int, w: int) -> int:
 def _conv3x3_t(z2, w3, bt, h, w):
     """Train-kernel 3x3 conv forward, chunked over image groups (see
     _TRAIN_CONV_CHUNK). Numerically identical to the unchunked call — the
-    conv never mixes images."""
+    conv never mixes images. The conv form follows the host-packed weight
+    layout (_conv3x3 dispatches on ndim: 2 = scatter, 3 = dycol)."""
     ci = _conv_chunk_imgs(bt, h, w)
     if ci == bt:
-        return _conv3x3(z2, w3, bt, h, w, mode="scatter")
+        return _conv3x3(z2, w3, bt, h, w)
     m = ci * h * w
-    parts = [_conv3x3(z2[u * m:(u + 1) * m], w3, ci, h, w, mode="scatter")
+    parts = [_conv3x3(z2[u * m:(u + 1) * m], w3, ci, h, w)
              for u in range(bt // ci)]
     return jnp.concatenate(parts, axis=0)
 
 
+def _canon2(sl):
+    """Split-reconcat a shifted slice to force a canonical Mosaic layout
+    (raw spatially-offset slices trip "offset mismatch on non-concat
+    dimension" inside downstream concats)."""
+    g2 = sl.shape[-1] // 2
+    return jnp.concatenate([sl[:, :g2], sl[:, g2:]], axis=-1)
+
+
+def _conv3x3_bwd_dycol(z2, w3, d_out32, bt, h, w, dtype):
+    """Backward of the dycol-form 3x3 conv (host-packed (3, Cb, 3G) weight,
+    fused_hourglass._conv3x3 plan B).
+
+    Forward: S = sum_dy slice_dy(pad_h(z2)) @ W[dy]; out = dx-gather(S).
+    Backward:
+      d_S[:, :, :, dx*G:(dx+1)*G] = d_out shifted by (1 - dx) in w
+        -> built from 3 canonicalized slices of the w-padded d_out
+           (the scatter/catc build needs 9);
+      dW[dy]  = slice_dy(pad_h(z2))^T @ d_S          (3 dots, K = m)
+      d_z2    = sum_dy slice_{2-dy}(pad_h(d_S)) @ W[dy]^T
+    The d_z2 shift rides the dot INPUT (shift commutes with the row-wise
+    dot), so the accumulated terms are canonical dot outputs — shifting the
+    outputs instead fails Mosaic lowering downstream (windowed-slice
+    layouts in the BN-jacobian reductions). Same padded-tile MXU FLOPs as
+    the catc fat dots (3x K=96->128 tiles vs 1x K=288->384); the epilogue
+    drops from 9 shifted-slice builds to 3.
+    Returns (d_z2 fp32 (m, Cb), dW3 fp32 (3, Cb, 3G))."""
+    g = w3.shape[-1] // 3
+    m = bt * h * w
+    cb = z2.shape[-1]
+    if os.environ.get("CUNET_DYCOL_BWD", "dycol") == "catc":
+        # fallback: the proven catc backward on a scatter-packed weight
+        # rebuilt in-kernel (dycol columns are dx-major within dy — exactly
+        # scatter's tap-major order, so the rebuild is one lane concat);
+        # dW comes out per-dy so the grad matches the (3, Cb, 3G) layout
+        w3p = jnp.concatenate([w3[dy] for dy in range(3)], axis=-1)
+        d_p2 = jnp.pad(d_out32.astype(dtype).reshape(bt, h, w, g),
+                       ((0, 0), (1, 1), (1, 1), (0, 0)))
+        d_t = jnp.concatenate(
+            [_canon2(d_p2[:, 2 - dy:2 - dy + h, 2 - dx:2 - dx + w,
+                          :].reshape(m, g))
+             for dy in range(3) for dx in range(3)], axis=-1)
+        dW = jnp.stack([_dot_dw(z2, d_t[:, dy * 3 * g:(dy + 1) * 3 * g],
+                                dtype) for dy in range(3)])
+        return _dot_dx(d_t, w3p, dtype), dW
+    # canonicalize the cotangent: in-kernel it arrives as a lane-offset
+    # slice of the adapter backward's d_x2 (offset k1 = 160/288 lanes),
+    # and the w-shifted slice concat below fails Mosaic lowering on that
+    # layout ("offset mismatch on non-concat dimension")
+    d_out32 = _canon2(d_out32.astype(dtype))
+    d_p = jnp.pad(d_out32.reshape(bt, h, w, g),
+                  ((0, 0), (0, 0), (1, 1), (0, 0)))
+    d_S = jnp.concatenate(
+        [_canon2(d_p[:, :, 2 - dx:2 - dx + w, :].reshape(m, g))
+         for dx in range(3)], axis=-1)
+    zp = jnp.pad(z2.astype(dtype).reshape(bt, h, w, cb),
+                 ((0, 0), (1, 1), (0, 0), (0, 0)))
+    d_Sp = jnp.pad(d_S.astype(dtype).reshape(bt, h, w, 3 * g),
+                   ((0, 0), (1, 1), (0, 0), (0, 0)))
+    dW_parts = []
+    d_z2 = None
+    for dy in range(3):
+        z_dy = zp[:, dy:dy + h].reshape(m, cb)
+        dW_parts.append(_dot_dw(z_dy, d_S, dtype))
+        # d_z2[y] += (d_S @ W[dy]^T)[y + 1 - dy] == (slice_{2-dy}(d_Sp)
+        # @ W[dy]^T)[y] — whole-h0-row input shifts, sublane-aligned
+        term = _dot_dx(d_Sp[:, 2 - dy:2 - dy + h].reshape(m, 3 * g),
+                       w3[dy], dtype)
+        d_z2 = term if d_z2 is None else d_z2 + term
+    return d_z2, jnp.stack(dW_parts)
+
+
 def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
-    """Backward of the scatter-form 3x3 conv (host-packed (Cb, 9G) weight).
+    """Backward of the train-kernel 3x3 conv; dispatches on the host-packed
+    weight layout (3D = dycol, 2D = scatter forms below).
+
+    Scatter form (host-packed (Cb, 9G) weight):
 
     The tap-d cotangent is d_out shifted by (1-dy, 1-dx) with zero borders.
     Default "catc" builds the (m, 9G) tap matrix by concatenating the 9
@@ -641,7 +726,9 @@ def _conv3x3_bwd(z2, w3p, d_out32, bt, h, w, dtype):
     non-concat dimension") because the slices carry spatial offsets. Two
     fat dots then contract the full 9G dimension on the MXU. "taps" falls
     back to 9 thin per-tap dot pairs (K=G: ~4x lower MXU efficiency).
-    Returns (d_z2 fp32 (m, Cb), dW3 fp32 (Cb, 9G))."""
+    Returns (d_z2 fp32 (m, Cb), dW3 fp32 matching the packed layout)."""
+    if w3p.ndim == 3:
+        return _conv3x3_bwd_dycol(z2, w3p, d_out32, bt, h, w, dtype)
     g = w3p.shape[-1] // 9
     m = bt * h * w
     d_p = jnp.pad(d_out32.astype(dtype).reshape(bt, h, w, g),
@@ -946,7 +1033,17 @@ def _run_up(meta, U, I, d_fifo_refs, dW_refs, dW_head, acc):
 
     d_y = I["d_y_out"].astype(jnp.float32)
     d_skips_out = [None] * nb
-    for pos in reversed(U):
+    # dev-only compile bisect (cf. CUNET_TSBWD_DOWN_STOP): stop emitting
+    # block backwards after N up blocks — WRONG RESULTS, diagnosis only
+    _stop = int(os.environ.get("CUNET_TSBWD_UP_STOP", "99"))
+    for seg, pos in enumerate(reversed(U)):
+        if seg >= _stop:
+            for jj in range(nb):
+                if d_skips_out[jj] is None:
+                    d_skips_out[jj] = jnp.zeros(
+                        (bt * plan[jj]["res"] ** 2, c), jnp.float32)
+            r0 = plan[nb]["res"]
+            return jnp.zeros((bt * r0 * r0, c), jnp.float32), d_skips_out
         idx = pos - (nb + 1)
         j = nb - 1 - idx
         h = plan[pos]["res"]

@@ -226,6 +226,66 @@ def smoke_grad_parity() -> None:
         f"mean cos {mean_f:.4f} vs control {mean_c:.4f}")
 
 
+def smoke_grad_parity_tight() -> None:
+    """Deterministic TIGHT on-chip parity at the shapes the r4 chaos
+    analysis proved stable (tools/parity_repro.py: 64px input, f32, nb=2 —
+    control rel 6.6 / cos 0.956, vs rel ~47 / cos ~0.5 at real shapes).
+
+    The aggregate bands of smoke_grad_parity (norm ratio 0.85-1.18, mean
+    cos) would PASS a hypothetical uniform 15% grad scale error. This leg
+    closes that hole with the MEDIAN elementwise relative error: routing
+    chaos (pool winner flips, relu gates) lives in the TAIL of the rel-err
+    distribution, so the median of fused-vs-lax must sit at rounding level
+    whenever the 1-ulp lax-vs-lax control's median does — while a uniform
+    15% scale shift moves the median to 0.15 outright."""
+    from cunet_tpu.config import ModelConfig
+    from cunet_tpu.models import apply_cu_net, init_cu_net
+    from cunet_tpu.train.loss import intermediate_mse
+
+    common = dict(layer_num=2, order=1, class_num=16, loss_num=2,
+                  num_blocks=2, compute_dtype="float32", remat="none",
+                  bn_dtype="compute", bn_tile=2)
+    cfg_p = ModelConfig(use_pallas=True, **common)
+    cfg_l = ModelConfig(use_pallas=False, **common)
+    bs = 4
+    params, bn = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(bs, 64, 64, 3), jnp.float32)
+    t = jnp.asarray(rng.rand(bs, 16, 16, 16), jnp.float32)
+
+    def grads(cfg, xx):
+        def loss(p):
+            outs, _ = apply_cu_net(p, bn, xx, cfg=cfg, train=True)
+            return intermediate_mse(outs, t)
+
+        return jax.jit(jax.grad(loss))(params)
+
+    g_p = grads(cfg_p, x)
+    g_l = grads(cfg_l, x)
+    g_c = grads(cfg_l, x * (1.0 + 2e-7))   # 1-ulp-scale f32 control
+
+    def med_rel(g_a, g_b):
+        rels = []
+        for a, b in zip(jax.tree_util.tree_leaves(g_a),
+                        jax.tree_util.tree_leaves(g_b)):
+            a = np.asarray(a, np.float64).ravel()
+            b = np.asarray(b, np.float64).ravel()
+            scale = np.median(np.abs(b)) + 1e-30
+            keep = np.abs(b) > 1e-3 * scale   # skip denormal-denominator
+            if keep.any():
+                rels.append(np.abs(a[keep] - b[keep]) / np.abs(b[keep]))
+        return float(np.median(np.concatenate(rels)))
+
+    m_f = med_rel(g_p, g_l)
+    m_c = med_rel(g_c, g_l)
+    bound = max(10.0 * m_c, 1e-4)
+    print(f"tight grad parity @64px/f32/nb2: median rel fused-vs-lax "
+          f"{m_f:.3g} (control {m_c:.3g}, bound {bound:.3g})")
+    assert m_f <= bound, (
+        f"fused grads shifted in BULK vs lax: median rel {m_f:.3g} > "
+        f"{bound:.3g} — this is a scale/systematic error, not routing chaos")
+
+
 def _backend_or_exit(timeout_s: float = 180.0):
     """Resolve the backend with a bound: during an axon relay outage,
     jax.devices() hangs indefinitely — exit rc=3 fast instead of burning
@@ -251,6 +311,7 @@ def main() -> int:
         return 0
     if "--parity" in sys.argv:
         smoke_grad_parity()
+        smoke_grad_parity_tight()
         print("TPU_SMOKE_PARITY_PASS")
         return 0
     smoke_train_k8()

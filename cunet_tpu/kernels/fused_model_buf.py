@@ -55,6 +55,22 @@ def _affine_dot(buf, k, vec, w, dtype):
     return _bottleneck_val(buf[:, :k], vec[:, :k], w[:k], dtype)
 
 
+# CUNET_UPS_DOT=low: the ups/dot commute. Upsample is row duplication, and
+# BN affine + relu are elementwise, so for the up-lane slice of an up
+# block's two dots
+#     relu(affine(ups(y))) @ W[:c]  ==  ups(relu(affine(y)) @ W[:c])
+# — the y contribution can be computed at the PRODUCER's resolution (4x
+# fewer rows, 25% of the MACs) and upsampled as a dot RESULT. The producer
+# then stores the low-res y itself (quarter rows of the ups-lane region,
+# image-major) instead of materializing ups(y), and the consumer adds one
+# upsampled (m, cb+c) partial to the two lane-sliced dots. Exact up to f32
+# summation order (the K dim of each dot splits in two).
+# CUNET_LOWDOT_DT=bf16 carries the upsampled partial in bf16 (halves the
+# ups bytes, ~0.4% rel rounding on that partial); default f32 is exact.
+_UPS_DOT = os.environ.get("CUNET_UPS_DOT", "hi")
+_LOWDOT_DT = os.environ.get("CUNET_LOWDOT_DT", "f32")
+
+
 def _q8(y, s: float):
     """WAGE fixed-point activation quantization to int8: round-half-away of
     clip(y)*S (semantics of ref:utils/quantize.py:33-42; matches
@@ -263,6 +279,26 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
 
             def chunk_body(u):
                 r = rows(res, u)
+                # lowdot (see _UPS_DOT above): the producer left the
+                # low-res y in the first quarter rows of the ups-lane
+                # region; both up-block dots run lane-sliced [c:*] at this
+                # resolution, plus one upsampled low-res partial each.
+                lowdot = _UPS_DOT == "low" and is_up and not s_i8
+                up_b = up_a = None
+                if lowdot:
+                    res_lo = res // 2
+                    m_lo = ci * res_lo * res_lo
+                    y_lo = buf[pl.ds(u * m_lo, m_lo), :c]
+                    t_b = _bottleneck_val(y_lo, wset["vec_b"][:, :c],
+                                          wset["w_b"][:c], dtype)
+                    t_a = _bottleneck_val(y_lo, wset["vec_a"][:, :c],
+                                          wset["w_a"][:c], dtype)
+                    ldt = jnp.bfloat16 if _LOWDOT_DT == "bf16" else jnp.float32
+                    t_cat = jnp.concatenate([t_b, t_a], axis=-1).astype(ldt)
+                    up_cat = _upsample2(t_cat, res_lo, res_lo, ci)
+                    cbw = t_b.shape[-1]
+                    up_b = up_cat[:, :cbw].astype(jnp.float32)
+                    up_a = up_cat[:, cbw:].astype(jnp.float32)
                 if s_i8:
                     yb = _affine_dot_i8(buf[r, :kin], wset["vec_b"],
                                         wset["w_b"], s_i8)
@@ -289,6 +325,23 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                 else:
                     if "bottleneck" in _ABLATE:  # timing probe: wrong values
                         yb = buf[r, :wset["w_b"].shape[-1]].astype(jnp.float32)
+                    elif "uplow" in _ABLATE and is_up:
+                        # timing probe (wrong values): price the ups/dot
+                        # commute — the up-block dots skip the ups lanes
+                        # [0:c) (their contribution would be computed at
+                        # the producer's resolution, 4x fewer rows, and
+                        # upsampled as a dot RESULT) and the producer skips
+                        # the ups write. Upper bound for the "lowdot"
+                        # restructure; its new costs (2 low-res dots + one
+                        # (m, 2c) ups + 2 adds) are priced by pass_model.
+                        yb = _bottleneck_val(buf[r, c:kin],
+                                             wset["vec_b"][:, c:kin],
+                                             wset["w_b"][c:kin], dtype)
+                    elif lowdot:
+                        yb = _bottleneck_val(buf[r, c:kin],
+                                             wset["vec_b"][:, c:kin],
+                                             wset["w_b"][c:kin],
+                                             dtype) + up_b
                     else:
                         yb = _bottleneck_val(buf[r, :kin],
                                              wset["vec_b"][:, :kin],
@@ -323,6 +376,16 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                     if has_skip:
                         up_pos = nb + 1 + (nb - 1 - pos)
                         buf_at(up_pos)[r, c:2 * c] = ahead
+                elif "uplow" in _ABLATE and is_up:
+                    ahead = _bottleneck_val(buf[r, c:x2k],
+                                            wset["vec_a"][:, c:x2k],
+                                            wset["w_a"][c:x2k],
+                                            dtype).astype(dtype)
+                elif lowdot:
+                    ahead = (_bottleneck_val(buf[r, c:x2k],
+                                             wset["vec_a"][:, c:x2k],
+                                             wset["w_a"][c:x2k], dtype)
+                             + up_a).astype(dtype)
                 else:
                     ahead = _bottleneck_val(buf[r, :x2k],
                                             wset["vec_a"][:, :x2k],
@@ -365,6 +428,15 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
         up0 = buf_at(nb + 1)
 
         def fwd_up_neck(u, ci, ahead, res=res, nxt_buf=up0):
+            if "uplow" in _ABLATE:  # consumer dots skip the ups lanes
+                return
+            if _UPS_DOT == "low" and not s_i8:
+                # lowdot: store y itself at its own resolution (quarter
+                # rows, image-major); the consumer computes the up-lane
+                # dot partials here and upsamples the RESULTS
+                m_lo = ci * res * res
+                nxt_buf[pl.ds(u * m_lo, m_lo), :c] = ahead
+                return
             up = _upsample2(ahead, res, res, ci)
             m2 = ci * (res * 2) * (res * 2)
             nxt_buf[pl.ds(u * m2, m2), :c] = up
@@ -378,6 +450,12 @@ def _model_buf_kernel(meta, *refs):  # noqa: C901
                 nxt_buf = buf_at(pos + 1)
 
                 def fwd_up(u, ci, ahead, res=res, nxt_buf=nxt_buf):
+                    if "uplow" in _ABLATE:  # consumer dots skip the ups lanes
+                        return
+                    if _UPS_DOT == "low" and not s_i8:
+                        m_lo = ci * res * res
+                        nxt_buf[pl.ds(u * m_lo, m_lo), :c] = ahead
+                        return
                     up = _upsample2(ahead, res, res, ci)
                     m2 = ci * (res * 2) * (res * 2)
                     nxt_buf[pl.ds(u * m2, m2), :c] = up

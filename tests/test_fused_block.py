@@ -250,3 +250,35 @@ class TestFusedWholeModel:
         for a, b in zip(out_p, out_l):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+    def test_buf_kernel_lowdot_matches_lax(self, monkeypatch):
+        """CUNET_UPS_DOT=low (the ups/dot commute): the up-block dots'
+        ups-lane contribution is computed at the producer's resolution and
+        upsampled as a dot RESULT (fused_model_buf._UPS_DOT). Exact up to
+        f32 summation order, so it must match the lax model at the same
+        tolerance as the default path — including mixed stage chunking."""
+        import cunet_tpu.kernels.fused_model_buf as fmb
+        from cunet_tpu.config import ModelConfig
+        from cunet_tpu.models import apply_cu_net, init_cu_net
+
+        monkeypatch.setenv("CUNET_TERA_IMPL", "buf")
+        monkeypatch.setenv("CUNET_TERA_CHUNK_ROWS", "64")
+        monkeypatch.setenv("CUNET_TERA_BATCH_TILE", "2")
+        monkeypatch.setattr(fmb, "_UPS_DOT", "low")
+        orig = fmb.fused_model_buf_infer
+        monkeypatch.setattr(
+            fmb, "fused_model_buf_infer",
+            lambda *a, _o=orig, **k: _o(*a, **{**k, "interpret": True}))
+        SMALL = dict(neck_size=2, growth_rate=8, init_chan_num=16,
+                     class_num=4, num_blocks=2)
+        cfg_p = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=True, pallas_whole_model=True, **SMALL)
+        cfg_l = ModelConfig(layer_num=4, order=2, loss_num=4,
+                            use_pallas=False, use_scan=False, **SMALL)
+        params, state = init_cu_net(jax.random.PRNGKey(0), cfg_l)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        out_p, _ = apply_cu_net(params, state, x, cfg=cfg_p, train=False)
+        out_l, _ = apply_cu_net(params, state, x, cfg=cfg_l, train=False)
+        for a, b in zip(out_p, out_l):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

@@ -292,8 +292,12 @@ def main():
     args = ap.parse_args()
 
     probe = dict(PROBE_DEFAULTS)
-    if args.probe:
-        probe.update(json.load(open(args.probe)))
+    # default to the checked-in on-chip calibration (tools/probe_v5e.json,
+    # written from the r5 mosaic_probe run) when no --probe is given
+    probe_path = args.probe or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "probe_v5e.json")
+    if os.path.exists(probe_path):
+        probe.update(json.load(open(probe_path)))
         probe["measured"] = True
 
     m = Model(probe, args.bt, args.chunk_rows, args.taps_acc,

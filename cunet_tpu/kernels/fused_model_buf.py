@@ -95,7 +95,8 @@ def _affine_dot_i8(x, vec, w_i8, s: float):
     return acc.astype(jnp.float32) * (1.0 / s)
 
 
-def chunk_plan(bt: int, h0: int, num_blocks: int, rows_target: int = 0):
+def chunk_plan(bt: int, h0: int, num_blocks: int, rows_target: int = 0,
+               layer_num: int = 8):
     """Images per stage-chunk, by resolution.
 
     The grid batch tile ``bt`` amortizes per-op fixed latency at the
@@ -108,8 +109,12 @@ def chunk_plan(bt: int, h0: int, num_blocks: int, rows_target: int = 0):
     VMEM at bt=8 with the HBM head/stem DMA): low-res stages take the whole
     tile in one chunk, high-res stages split.
     """
+    # K=16 keeps ~2x the resident weights, so its stage transients schedule
+    # better at half the chunk rows (r5g: 2001.3 img/s at 2048 vs 1972.7 at
+    # the K8-tuned 4096 and 1970.1 at 8192)
+    default_rows = "2048" if layer_num > 8 else "4096"
     rows_target = rows_target or int(
-        os.environ.get("CUNET_TERA_CHUNK_ROWS", "4096"))
+        os.environ.get("CUNET_TERA_CHUNK_ROWS", default_rows))
     plan = {}
     res = h0
     for _ in range(num_blocks + 1):
@@ -663,7 +668,7 @@ def fused_model_buf_infer(
     out_shape = jax.ShapeDtypeStruct(
         (n, layer_num, class_num, h0 * h0), dtype)
     out_spec = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-    chunks = chunk_plan(bt, h0, num_blocks)
+    chunks = chunk_plan(bt, h0, num_blocks, layer_num=layer_num)
 
     # scratch: one channel-plane buffer per block position + intermedia
     res = [h0 // (2 ** j) for j in range(num_blocks + 1)]

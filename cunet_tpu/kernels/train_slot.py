@@ -265,6 +265,15 @@ def _slot_fwd_kernel(meta, *refs):  # noqa: C901
         z = _norm_relu(x_cat, bn, mu, var, dtype, eps)
         return _dot(z, w, dtype)
 
+# NOTE (r5, measured NEGATIVE): composing x_cat/x2 stats from per-part
+# stats (exact — channels are independent; ups parts could reuse producer
+# low-res stats since row duplication changes neither mean nor variance)
+# measured 473-483 img/s vs the 488 monolithic baseline: Mosaic fuses the
+# full-width reduction into the surrounding passes better than it schedules
+# the per-part reduction trees + (1, C) stat concats, and the composition
+# ADDED ~4M VMEM at bn_tile=4 (138.89M vs 134.53M). Reverted to the
+# monolithic per-stage _stats; see PARITY.md r5 training section.
+
     # ---- intermedia ----
     inter_out_val = None
     if has_inter:
@@ -612,6 +621,13 @@ _TRAIN_CONV_MODE = os.environ.get("CUNET_TRAIN_CONV3X3", "dycol")
 # monkeypatch it; its value is part of _make_slot_fn's cache key, so an
 # override can never hit a stale traced kernel.
 _TRAIN_CONV_CHUNK = int(os.environ.get("CUNET_TRAIN_CONV_CHUNK", "8192"))
+
+# Dtype of part A's cross-launch cotangents (d_y_low + d_skips, emitted by
+# the up launch and re-read by the down launch). "f32" (default) keeps them
+# exact; "compute" halves their VMEM windows (~10.6 MB/launch at bn_tile=4
+# — the margin that decides whether the bt4 backward fits the 128M budget)
+# at ~0.4% bf16 rounding on those cotangents.
+_TSBWD_DCOT = os.environ.get("CUNET_TSBWD_DCOT", "f32")
 
 
 def _conv_chunk_imgs(bt: int, h: int, w: int) -> int:
@@ -1093,9 +1109,11 @@ def _slot_bwd_up_kernel(meta, *refs):
                                acc)
     for j in range(nb):
         h = plan[j]["res"]
-        d_skip_refs[j][...] = d_skips[j].reshape(bt, h, h, c)
+        d_skip_refs[j][...] = d_skips[j].reshape(bt, h, h, c).astype(
+            d_skip_refs[j].dtype)
     r = plan[nb]["res"]
-    d_y_low_ref[...] = d_y_low.reshape(bt, r, r, c)
+    d_y_low_ref[...] = d_y_low.reshape(bt, r, r, c).astype(
+        d_y_low_ref.dtype)
 
 
 def _read_down_ins(meta, nxt, flat, with_d=True, seed=None):
@@ -1415,10 +1433,11 @@ def slot_train_bwd(
     single = os.environ.get("CUNET_TSBWD_SINGLE", "0") == "1" and not _only
 
     r_neck = plan[nb]["res"]
+    dcot = dtype if _TSBWD_DCOT == "compute" else jnp.float32
     if not single:
-        A.out_tiled(r_neck, c, jnp.float32)          # d_y_low
+        A.out_tiled(r_neck, c, dcot)                 # d_y_low
         for j in range(nb):
-            A.out_tiled(plan[j]["res"], c, jnp.float32)   # d_skips
+            A.out_tiled(plan[j]["res"], c, dcot)     # d_skips
     for pos in U:
         for li in range(L):
             A.out_tiled(plan[pos]["res"], fifos[pos][li].shape[-1])
@@ -1540,11 +1559,13 @@ def slot_train_bwd(
 
 @functools.lru_cache(maxsize=None)
 def _make_slot_fn(nb, L, has_inter, h0, bt, c, g, cb, dtype_str, interpret,
-                  bits_i=0, conv_chunk=None, drop=False, drop_rate=0.0):
-    # conv_chunk is the _TRAIN_CONV_CHUNK budget at call time; it is read by
-    # the kernel body at trace time via the module global, and it is part of
-    # this cache key purely so an env/monkeypatch override can never reuse a
-    # kernel traced under a different budget.
+                  bits_i=0, conv_chunk=None, drop=False, drop_rate=0.0,
+                  dcot="f32"):
+    # conv_chunk / dcot are the _TRAIN_CONV_CHUNK / _TSBWD_DCOT settings at
+    # call time; they are read by the kernel body at trace time via the
+    # module globals, and they are part of this cache key purely so an
+    # env/monkeypatch override can never reuse a kernel traced under a
+    # different setting.
     meta = finalize_meta(
         dict(num_blocks=nb, L=L, has_inter=has_inter, bt=bt, chan=c,
              growth=g, cb=cb, dtype=jnp.dtype(dtype_str), eps=BN_EPS,
@@ -1632,7 +1653,7 @@ def fused_slot_train(y, inter_fifo, fifos, W, *, cfg, L, has_inter,
         cfg.num_blocks, L, has_inter, h0, cfg.bn_tile, cfg.init_chan_num,
         cfg.growth_rate, cfg.bottleneck_chan, str(cfg.compute_dtype),
         interpret, int(bits_i), _TRAIN_CONV_CHUNK, drop,
-        float(cfg.drop_rate) if drop == "seed" else 0.0,
+        float(cfg.drop_rate) if drop == "seed" else 0.0, _TSBWD_DCOT,
     )
     if drop == "seed":
         mask_args = (jnp.asarray(drop_seed, jnp.int32).reshape(1),)

@@ -29,8 +29,14 @@ def main():
     from cunet_tpu.models import apply_cu_net, init_cu_net
     from cunet_tpu.train.loss import intermediate_mse
 
+    # the SHIPPED bench_train config (bench.py:113-117): whole-slot Pallas
+    # train kernels, unrolled slots, ghost-BN tile 2. The Pallas launches
+    # show up as one custom-call each (1 fwd + 2 bwd per slot), so the
+    # table attributes time ACROSS launches/slots and to everything XLA
+    # runs between them (optimizer, loss, copies) — not inside a kernel.
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
-                      compute_dtype="bfloat16", remat="bottleneck")
+                      compute_dtype="bfloat16", remat="none",
+                      use_pallas=True, bn_tile=2, bn_dtype="compute")
     bs = args.bs
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
     image = jnp.ones((bs, 256, 256, 3), jnp.bfloat16)

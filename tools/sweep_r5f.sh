@@ -26,6 +26,9 @@ run tr_bn4_cc4k 1800 env CUNET_TRAIN_CONV_CHUNK=4096 python -c "
 import bench; bench.bench_train(bn_tile=4, bs=24)"
 run tr_bn4_cc2k 1800 env CUNET_TRAIN_CONV_CHUNK=2048 python -c "
 import bench; bench.bench_train(bn_tile=4, bs=24)"
+# K=16 train with the same tile lift (bs12 -> 3 grid steps at bt4)
+run k16tr_bn4_cc4k 2400 env CUNET_TRAIN_CONV_CHUNK=4096 python -c "
+import bench; bench.bench_train(bn_tile=4, bs=12, layer_num=16)"
 # stage decomposition AT THE SHIPPED CONFIG (r5e leg used the tool's old
 # lax/scan defaults and crashed): unrolled slots, ghost-BN tile 2
 run tr_diag 1800 python tools/train_diag.py --bs 24 --pallas --bn_tile 2 \

@@ -6,7 +6,7 @@ Runs on the real TPU (NOT under the CPU-forced pytest conftest):
   2. 10 eval batches of CU-Net-16 (the human flagship, ref:README.md:43)
      through the tera kernel — asserts finite outputs and min throughput.
 
-Exit code 0 = pass. Invoke via ``make smoke-tpu``. Thresholds are set ~25%
+Exit code 0 = pass. Invoke via ``make smoke-tpu``. Thresholds are set ~10%
 below the perf record of the round that touched the code last, so a silent
 regression in the hot path fails the smoke rather than shipping.
 """
@@ -22,15 +22,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-5 floors (VERDICT r4 #5): fail the gate below these. Driver records
-# (BENCH_r04.json): headline K=8 tera eval 3364 img/s, train UNROLLED 486,
-# K=16 tera eval 1651. The axon relay varies ~10% day to day, so floors sit
+# Round-5 floors, ratcheted to the r5 records (VERDICT r4 #5). Driver-mode
+# records this round: headline K=8 tera eval 3856.6 img/s (dycol conv),
+# train UNROLLED 488.2, dropout-train 462.4, K=16 tera eval 1991.6 (bt4 +
+# chunk-rows 2048). The axon relay varies ~10% day to day, so floors sit
 # ~10% under the record band bottom — a 10%+ regression of any
 # driver-recorded metric fails the gate.
-MIN_TRAIN_IMGS_PER_SEC = 435.0    # r4 driver record 486
-MIN_EVAL16_IMGS_PER_SEC = 1480.0  # r4 driver record 1651
-MIN_EVAL8_IMGS_PER_SEC = 3000.0   # r4 driver record 3364
-MIN_DROPTRAIN_IMGS_PER_SEC = 415.0  # r5 record 461.9 (in-kernel prng masks)
+MIN_TRAIN_IMGS_PER_SEC = 440.0    # r5 driver record 488.2
+MIN_EVAL16_IMGS_PER_SEC = 1790.0  # r5 driver record 1991.6
+MIN_EVAL8_IMGS_PER_SEC = 3470.0   # r5 driver record 3856.6
+MIN_DROPTRAIN_IMGS_PER_SEC = 415.0  # r5 driver record 462.4 (in-kernel prng)
 
 
 def _fetch(x) -> float:

@@ -35,7 +35,7 @@ def main():
     # table attributes time ACROSS launches/slots and to everything XLA
     # runs between them (optimizer, loss, copies) — not inside a kernel.
     cfg = ModelConfig(layer_num=8, order=1, class_num=16, loss_num=8,
-                      compute_dtype="bfloat16", remat="none",
+                      compute_dtype="bfloat16", remat="none", use_scan=False,
                       use_pallas=True, bn_tile=2, bn_dtype="compute")
     bs = args.bs
     params, bn = init_cu_net(jax.random.PRNGKey(0), cfg)
@@ -65,28 +65,38 @@ def main():
             out = fn(params, bn, image, target)
         float(out)
 
-    xplanes = glob.glob(os.path.join(args.out, "**", "*.xplane.pb"),
-                        recursive=True)
-    xplanes.sort(key=os.path.getmtime)
-    if not xplanes:
-        print("NO XPLANE CAPTURED")
+    # Parse the Chrome trace directly (the tensorboard_plugin_profile
+    # converter is protobuf-version-broken in this env). Device-side
+    # complete events carry per-op durations.
+    import collections
+    import gzip
+    import json
+
+    traces = glob.glob(os.path.join(args.out, "**", "*.trace.json.gz"),
+                       recursive=True)
+    traces.sort(key=os.path.getmtime)
+    if not traces:
+        print("NO TRACE CAPTURED")
         return
-    xp = xplanes[-1]
-    print("xplane:", xp, os.path.getsize(xp), "bytes")
-
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    for tool in ("framework_op_stats^", "op_profile^"):
-        try:
-            data, _ = rtd.xspace_to_tool_data([xp], tool, {})
-            fname = os.path.join(args.out, tool.strip("^") + ".out")
-            if isinstance(data, bytes):
-                open(fname, "wb").write(data)
-            else:
-                open(fname, "w").write(str(data))
-            print("wrote", fname)
-        except Exception as e:  # noqa: BLE001
-            print(f"{tool}: FAILED {type(e).__name__}: {e}")
+    with gzip.open(traces[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "args" in e}
+    by = collections.defaultdict(float)
+    cnt = collections.Counter()
+    tot = 0.0
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e and \
+                "TPU" in pids.get(e["pid"], ""):
+            by[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+            tot += e["dur"]
+    print(f"trace: {traces[-1]}  total device-op us (incl. nesting): "
+          f"{tot:.0f}")
+    for n, d in sorted(by.items(), key=lambda kv: -kv[1])[:args.top]:
+        print(f"{d / 1000:9.3f} ms  x{cnt[n]:<4d} {n[:110]}")
 
 
 if __name__ == "__main__":
